@@ -282,22 +282,27 @@ def concat(elems, axis=0) -> GF:
     )
 
 
+def _slice_axis(x, start, stop, axis):
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(start, stop)
+    return x[tuple(idx)]
+
+
 def sum_tree(a: GF, axis) -> GF:
-    """Field sum along an axis via successive halving (log-depth adds)."""
-    lo, hi = a.lo, a.hi
-    n = lo.shape[axis]
+    """Field sum along an axis via successive halving (log-depth adds, slices only)."""
+    n = a.lo.shape[axis]
     cur = a
     while n > 1:
         half = n // 2
-        first = jnp.take(cur.lo, jnp.arange(0, half), axis=axis)
-        first_hi = jnp.take(cur.hi, jnp.arange(0, half), axis=axis)
-        second = jnp.take(cur.lo, jnp.arange(half, 2 * half), axis=axis)
-        second_hi = jnp.take(cur.hi, jnp.arange(half, 2 * half), axis=axis)
-        summed = add(GF(first, first_hi), GF(second, second_hi))
+        first = GF(_slice_axis(cur.lo, 0, half, axis), _slice_axis(cur.hi, 0, half, axis))
+        second = GF(
+            _slice_axis(cur.lo, half, 2 * half, axis),
+            _slice_axis(cur.hi, half, 2 * half, axis),
+        )
+        summed = add(first, second)
         if n % 2 == 1:
-            lastl = jnp.take(cur.lo, jnp.arange(2 * half, n), axis=axis)
-            lasth = jnp.take(cur.hi, jnp.arange(2 * half, n), axis=axis)
-            summed = concat([summed, GF(lastl, lasth)], axis=axis)
+            last = GF(_slice_axis(cur.lo, 2 * half, n, axis), _slice_axis(cur.hi, 2 * half, n, axis))
+            summed = concat([summed, last], axis=axis)
             n = half + 1
         else:
             n = half

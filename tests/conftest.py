@@ -12,8 +12,15 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Persistent compile cache: the Poseidon2/NTT/prover graphs are large and XLA
+# CPU compiles are slow here; cache them across test runs.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# only persist expensive graphs — caching every tiny eager op thrashes the disk
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 
 @pytest.fixture

