@@ -104,6 +104,36 @@ def eq(a, b) -> np.ndarray:
     return (a[..., 0] == b[..., 0]) & (a[..., 1] == b[..., 1])
 
 
+def powers_table(base, n: int) -> np.ndarray:
+    """[1, b, ..., b^(n-1)] built from two small sequential tables + one
+    vectorised outer product (O(sqrt n) sequential host muls)."""
+    if n <= 64:
+        return powers(base, n)
+    half_bits = ((n - 1).bit_length() + 1) // 2
+    lo_size = 1 << half_bits
+    lo = powers(base, lo_size)
+    z_hi = pow_scalar(base, lo_size)
+    hi_size = -(-n // lo_size)
+    hi = powers(z_hi, hi_size)
+    full = mul(
+        np.broadcast_to(hi[:, None, :], (hi_size, lo_size, 2)),
+        np.broadcast_to(lo[None, :, :], (hi_size, lo_size, 2)),
+    )
+    return full.reshape(-1, 2)[:n]
+
+
+def sum_axis0(a: np.ndarray) -> np.ndarray:
+    """Field sum of (..., 2) extension elements along axis 0 (tree halving)."""
+    cur = a
+    while cur.shape[0] > 1:
+        half = cur.shape[0] // 2
+        s = add(cur[:half], cur[half : 2 * half])
+        if cur.shape[0] % 2:
+            s = np.concatenate([s, cur[2 * half :]], axis=0)
+        cur = s
+    return cur[0]
+
+
 def rand(shape, rng: np.random.Generator) -> np.ndarray:
     return np.stack([F.rand_felts(shape, rng), F.rand_felts(shape, rng)], axis=-1)
 
@@ -164,3 +194,23 @@ def j_sqr(a: GF2) -> GF2:
 
 def j_sum_tree(a: GF2, axis) -> GF2:
     return GF2(gl.sum_tree(a.c0, axis), gl.sum_tree(a.c1, axis))
+
+
+def j_neg(a: GF2) -> GF2:
+    return GF2(gl.neg(a.c0), gl.neg(a.c1))
+
+
+def j_inv(a: GF2) -> GF2:
+    """Vectorised extension inverse via the norm map + one Fermat chain."""
+    norm = gl.sub(gl.sqr(a.c0), gl.mul_const(gl.sqr(a.c1), W))
+    ninv = gl.inv(norm)
+    return GF2(gl.mul(a.c0, ninv), gl.mul(gl.neg(a.c1), ninv))
+
+
+def j_scalar_base_mul(a: GF, b: GF2) -> GF2:
+    """base-field array a times extension b (elementwise)."""
+    return GF2(gl.mul(a, b.c0), gl.mul(a, b.c1))
+
+
+def j_constant(c0: int, c1: int = 0, shape=()) -> GF2:
+    return GF2(gl.constant(c0, shape), gl.constant(c1, shape))

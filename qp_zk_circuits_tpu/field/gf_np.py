@@ -217,3 +217,17 @@ def rand_felts(shape, rng: np.random.Generator) -> np.ndarray:
         out[bad] = rng.integers(0, 1 << 64, size=int(bad.sum()), dtype=np.uint64)
         bad = out >= P
     return out
+
+
+def powers_table(base, n: int) -> np.ndarray:
+    """[1, b, ..., b^(n-1)] with O(sqrt n) sequential muls (split tables)."""
+    if n <= 64:
+        return powers(base, n)
+    half_bits = ((n - 1).bit_length() + 1) // 2
+    lo_size = 1 << half_bits
+    lo = powers(base, lo_size)
+    b_hi = pow_scalar(np.uint64(base), lo_size)
+    hi_size = -(-n // lo_size)
+    hi = powers(b_hi, hi_size)
+    full = mul(hi[:, None], lo[None, :])
+    return full.reshape(-1)[:n]
