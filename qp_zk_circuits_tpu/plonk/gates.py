@@ -1,0 +1,547 @@
+"""Gate set for the PLONK circuit builder.
+
+Redesigned for TPU evaluation (not a copy of plonky2's gate zoo): every gate
+type gets a **one-hot selector column**, and its constraints are evaluated
+ONCE over the whole LDE domain as batched VPU ops (the per-row gate dispatch
+of CPU provers becomes a masked dense evaluation — uniform work, no
+divergence). The same `eval(ctx)` code runs in two algebras:
+
+  * device: GF base-field arrays over the quotient domain (prover);
+  * host: quadratic-extension scalars at zeta (verifier).
+
+Gate wires layout is per-row; routed wires (copy-constrainable) are the first
+`num_routed_wires` columns. Degrees stay <= quotient_degree_factor + 1 = 9
+including the selector multiply (reference constraint-degree policy,
+`common/src/circuit.rs:431-449`: Poseidon gate degree 7, arithmetic packing
+by routed-wire slots).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..field import gf_np as F
+from ..hash import poseidon2 as ps
+
+P_INT = 0xFFFFFFFF00000001
+
+# ---------------------------------------------------------------------------
+# evaluation contexts
+
+
+class DeviceBaseCtx:
+    """Evaluate constraints over GF base arrays (one value per domain point)."""
+
+    def __init__(self, wires, constants, pi_hash_values):
+        from ..field import goldilocks as gl
+
+        self.gl = gl
+        self._wires = wires  # list of GF arrays
+        self._constants = constants
+        self._pi = pi_hash_values  # list of GF (broadcastable)
+
+    def wire(self, i):
+        return self._wires[i]
+
+    def constant(self, k):
+        return self._constants[k]
+
+    def pi_hash(self, i):
+        return self._pi[i]
+
+    def add(self, a, b):
+        return self.gl.add(a, b)
+
+    def sub(self, a, b):
+        return self.gl.sub(a, b)
+
+    def mul(self, a, b):
+        return self.gl.mul(a, b)
+
+    def add_const(self, a, c: int):
+        return self.gl.add(a, self.gl.constant(c, ()))
+
+    def mul_const(self, a, c: int):
+        return self.gl.mul_const(a, c)
+
+    def exp7(self, a):
+        return self.gl.exp7(a)
+
+    def felt(self, c: int):
+        return self.gl.constant(c, ())
+
+
+class HostExtCtx:
+    """Evaluate constraints over extension scalars (verifier at zeta)."""
+
+    def __init__(self, wires, constants, pi_hash_values):
+        from ..field import extension as ext
+
+        self.ext = ext
+        self._wires = wires  # list of np (2,) ext values
+        self._constants = constants
+        self._pi = pi_hash_values
+
+    def wire(self, i):
+        return self._wires[i]
+
+    def constant(self, k):
+        return self._constants[k]
+
+    def pi_hash(self, i):
+        return self._pi[i]
+
+    def add(self, a, b):
+        return self.ext.add(a, b)
+
+    def sub(self, a, b):
+        return self.ext.sub(a, b)
+
+    def mul(self, a, b):
+        return self.ext.mul(a, b)
+
+    def add_const(self, a, c: int):
+        return self.ext.add(a, self.felt(c))
+
+    def mul_const(self, a, c: int):
+        return self.ext.scalar_mul(a, np.uint64(c % (1 << 64)))
+
+    def exp7(self, a):
+        a2 = self.mul(a, a)
+        a4 = self.mul(a2, a2)
+        return self.mul(self.mul(a4, a2), a)
+
+    def felt(self, c: int):
+        return np.array([c % 0xFFFFFFFF00000001, 0], dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# device batched context (prover quotient path)
+
+
+class DeviceBatchCtx:
+    """Wires/constants as stacked GF arrays (num_cols, m) for the one-shot
+    vectorised gate evaluation on the LDE domain. Kept small so the traced
+    quotient graph stays compact (scan bodies instead of unrolled rounds)."""
+
+    def __init__(self, wires: "GF", constants, pi_hash):
+        from ..field import goldilocks as gl
+
+        self.gl = gl
+        self.wires = wires  # GF (num_wires, m)
+        self.constants = constants  # list of GF (m,)
+        self.pi = pi_hash  # GF (4,)
+
+    def wire_rows(self, idxs) -> "GF":
+        """Stack wire rows at static indices -> GF (len(idxs), m)."""
+        import jax.numpy as jnp
+
+        idx = np.asarray(idxs, dtype=np.int64)
+        return type(self.wires)(self.wires.lo[idx], self.wires.hi[idx])
+
+    @property
+    def m(self) -> int:
+        return self.wires.lo.shape[1]
+
+    def bfelt(self, c: int, shape):
+        return self.gl.constant(c, shape)
+
+
+# ---------------------------------------------------------------------------
+# gate base
+
+
+@dataclass(frozen=True)
+class Gate:
+    def key(self) -> str:
+        raise NotImplementedError
+
+    @property
+    def num_constraints(self) -> int:
+        raise NotImplementedError
+
+    def eval(self, ctx) -> list:
+        """Return constraint values (must all be 0 on rows of this gate)."""
+        raise NotImplementedError
+
+    def eval_batched(self, ctx: DeviceBatchCtx):
+        """Device path: return GF (num_constraints, m). MUST match the order
+        of eval(). Default falls back to stacking eval() over a list ctx."""
+        from ..field import goldilocks as gl
+
+        wires = [ctx.wires[i] for i in range(ctx.wires.lo.shape[0])]
+        list_ctx = DeviceBaseCtx(wires, ctx.constants, [ctx.pi[i] for i in range(4)])
+        cons = self.eval(list_ctx)
+        return gl.stack(cons, axis=0)
+
+    def fill_row(self, get, set_) -> None:
+        """Witness completion: compute scratch/output wires from input wires.
+
+        get(i) -> int, set_(i, int). Default: nothing to fill."""
+        return None
+
+
+@dataclass(frozen=True)
+class NoopGate(Gate):
+    def key(self):
+        return "noop"
+
+    @property
+    def num_constraints(self):
+        return 0
+
+    def eval(self, ctx):
+        return []
+
+
+@dataclass(frozen=True)
+class ArithmeticGate(Gate):
+    """num_ops independent ops: out = c0 * a * b + c1 * c.
+
+    Wires per op: [a, b, c, out] (all routed). Constants: c0, c1 shared."""
+
+    num_ops: int
+
+    def key(self):
+        return f"arith{self.num_ops}"
+
+    @property
+    def num_constraints(self):
+        return self.num_ops
+
+    @staticmethod
+    def wires_op(i: int) -> tuple[int, int, int, int]:
+        return (4 * i, 4 * i + 1, 4 * i + 2, 4 * i + 3)
+
+    def eval(self, ctx):
+        out = []
+        c0, c1 = ctx.constant(0), ctx.constant(1)
+        for i in range(self.num_ops):
+            a, b, c, o = self.wires_op(i)
+            t = ctx.mul(c0, ctx.mul(ctx.wire(a), ctx.wire(b)))
+            t = ctx.add(t, ctx.mul(c1, ctx.wire(c)))
+            out.append(ctx.sub(ctx.wire(o), t))
+        return out
+
+    def eval_batched(self, ctx: DeviceBatchCtx):
+        gl = ctx.gl
+        a = ctx.wire_rows([4 * i for i in range(self.num_ops)])
+        b = ctx.wire_rows([4 * i + 1 for i in range(self.num_ops)])
+        c = ctx.wire_rows([4 * i + 2 for i in range(self.num_ops)])
+        o = ctx.wire_rows([4 * i + 3 for i in range(self.num_ops)])
+        c0 = _brow(ctx.constants[0], a.lo.shape)
+        c1 = _brow(ctx.constants[1], a.lo.shape)
+        t = gl.add(gl.mul(c0, gl.mul(a, b)), gl.mul(c1, c))
+        return gl.sub(o, t)
+
+
+@dataclass(frozen=True)
+class ConstantGate(Gate):
+    """wire_i == constant_i for i < num_consts (== number of constant columns)."""
+
+    num_consts: int = 2
+
+    def key(self):
+        return f"const{self.num_consts}"
+
+    @property
+    def num_constraints(self):
+        return self.num_consts
+
+    def eval(self, ctx):
+        return [ctx.sub(ctx.wire(i), ctx.constant(i)) for i in range(self.num_consts)]
+
+
+@dataclass(frozen=True)
+class PublicInputGate(Gate):
+    """wires 0..3 == the public-input hash supplied by the verifier."""
+
+    def key(self):
+        return "public_input"
+
+    @property
+    def num_constraints(self):
+        return 4
+
+    def eval(self, ctx):
+        return [ctx.sub(ctx.wire(i), ctx.pi_hash(i)) for i in range(4)]
+
+
+@dataclass(frozen=True)
+class Poseidon2Gate(Gate):
+    """One full Poseidon2 permutation per row.
+
+    Wires: in[12] @0..11 (routed), out[12] @12..23 (routed), then scratch
+    sbox outputs: 4 ext rounds x 12 @24..71, 22 internal @72..93,
+    3 ext rounds x 12 @94..129 (130 wires, fits the 135-wire config; the
+    reference's gate similarly needs 135 columns at degree 7,
+    `common/src/circuit.rs:431-449`)."""
+
+    W_IN = 0
+    W_OUT = 12
+    W_EXT_A = 24  # 4 rounds x 12
+    W_INT = 72  # 22 lanes
+    W_EXT_B = 94  # 3 rounds x 12
+    NUM_WIRES = 130
+
+    def key(self):
+        return "poseidon2"
+
+    @property
+    def num_constraints(self):
+        return 48 + 22 + 36 + 12
+
+    @staticmethod
+    def _ext_linear(ctx, state):
+        m4 = ((5, 7, 1, 3), (4, 6, 1, 1), (1, 3, 5, 7), (1, 1, 4, 6))
+        groups = [state[0:4], state[4:8], state[8:12]]
+        y = []
+        for g in groups:
+            y.append(
+                [
+                    _lin_comb(ctx, [(m4[i][j], g[j]) for j in range(4)])
+                    for i in range(4)
+                ]
+            )
+        s = [ctx.add(ctx.add(y[0][i], y[1][i]), y[2][i]) for i in range(4)]
+        out = []
+        for gi in range(3):
+            for i in range(4):
+                out.append(ctx.add(y[gi][i], s[i]))
+        return out
+
+    @staticmethod
+    def _int_linear(ctx, state, diag):
+        total = state[0]
+        for i in range(1, 12):
+            total = ctx.add(total, state[i])
+        return [ctx.add(ctx.mul_const(state[i], int(diag[i])), total) for i in range(12)]
+
+    def eval(self, ctx):
+        ext_rcs = ps.external_round_constants()
+        int_rcs = ps.internal_round_constants()
+        diag = ps.internal_diag()
+        constraints = []
+        state = [ctx.wire(self.W_IN + i) for i in range(12)]
+        state = self._ext_linear(ctx, state)
+        # external rounds 1-4: sbox outputs are wires
+        for r in range(4):
+            for i in range(12):
+                t = ctx.add_const(state[i], int(ext_rcs[r][i]))
+                w = ctx.wire(self.W_EXT_A + 12 * r + i)
+                constraints.append(ctx.sub(w, ctx.exp7(t)))
+            state = self._ext_linear(
+                ctx, [ctx.wire(self.W_EXT_A + 12 * r + i) for i in range(12)]
+            )
+        # internal rounds: lane-0 sbox outputs are wires
+        for k in range(22):
+            t = ctx.add_const(state[0], int(int_rcs[k]))
+            w = ctx.wire(self.W_INT + k)
+            constraints.append(ctx.sub(w, ctx.exp7(t)))
+            state = self._int_linear(ctx, [w] + state[1:], diag)
+        # external rounds 5-7: wires; round 8 folds into the out constraint
+        for r in range(3):
+            for i in range(12):
+                t = ctx.add_const(state[i], int(ext_rcs[4 + r][i]))
+                w = ctx.wire(self.W_EXT_B + 12 * r + i)
+                constraints.append(ctx.sub(w, ctx.exp7(t)))
+            state = self._ext_linear(
+                ctx, [ctx.wire(self.W_EXT_B + 12 * r + i) for i in range(12)]
+            )
+        # final round: out = M_E(sbox(state + rc8))
+        sboxed = [
+            ctx.exp7(ctx.add_const(state[i], int(ext_rcs[7][i]))) for i in range(12)
+        ]
+        final = self._ext_linear(ctx, sboxed)
+        for i in range(12):
+            constraints.append(ctx.sub(ctx.wire(self.W_OUT + i), final[i]))
+        return constraints
+
+    def eval_batched(self, ctx: DeviceBatchCtx):
+        """Scan-based device evaluation (flat trace size).
+
+        Key structural fact: every sbox input is an affine function of WIRE
+        values (the state is rebuilt from stored sbox-output wires each
+        round), so rounds scan over stacked wire slices with a small body."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..field import goldilocks as gl
+        from ..field.goldilocks import GF as _GF
+
+        ext_rcs = ps.external_round_constants()
+        int_rcs = ps.internal_round_constants()
+        diag = gl.from_u64(ps.internal_diag())  # (12,)
+        m = ctx.m
+
+        in_state = ctx.wire_rows(range(self.W_IN, self.W_IN + 12))
+        out_w = ctx.wire_rows(range(self.W_OUT, self.W_OUT + 12))
+        o_a = ctx.wire_rows(range(self.W_EXT_A, self.W_EXT_A + 48)).reshape(4, 12, m)
+        w_int = ctx.wire_rows(range(self.W_INT, self.W_INT + 22))
+        o_b = ctx.wire_rows(range(self.W_EXT_B, self.W_EXT_B + 36)).reshape(3, 12, m)
+
+        def ext_body(state, xs):
+            o_r, rc = xs  # GF (12, m), GF (12,)
+            t = gl.add(state, _brow(_col(rc), state.lo.shape))
+            cons = gl.sub(o_r, gl.exp7(t))
+            return _ext_linear_lanes(gl, o_r), cons
+
+        def _col(rc):  # GF (12,) -> GF (12, 1)
+            return _GF(rc.lo[:, None], rc.hi[:, None])
+
+        state0 = _ext_linear_lanes(gl, in_state)
+        state, cons_a = jax.lax.scan(
+            ext_body, state0, (o_a, gl.from_u64(ext_rcs[:4]))
+        )
+
+        def int_body(state, xs):
+            w, rc = xs  # GF (m,), GF ()
+            t = gl.add(state[0], _brow(rc, state.lo[0].shape))
+            cons = gl.sub(w, gl.exp7(t))
+            new_state = gl.concat([w.reshape(1, -1), state[1:]], axis=0)
+            total = gl.sum_tree(new_state, axis=0)  # (1, m)
+            diag_b = _GF(
+                jnp.broadcast_to(diag.lo[:, None], new_state.lo.shape),
+                jnp.broadcast_to(diag.hi[:, None], new_state.lo.shape),
+            )
+            new_state = gl.add(
+                gl.mul(new_state, diag_b), _brow(total[0], new_state.lo.shape)
+            )
+            return new_state, cons
+
+        state, cons_int = jax.lax.scan(
+            int_body, state, (w_int, gl.from_u64(int_rcs))
+        )
+
+        state, cons_b = jax.lax.scan(
+            ext_body, state, (o_b, gl.from_u64(ext_rcs[4:7]))
+        )
+
+        # final round folded into the out constraint
+        rc8 = gl.from_u64(ps.external_round_constants()[7])
+        t = gl.add(state, _brow(_col(rc8), state.lo.shape))
+        final = _ext_linear_lanes(gl, gl.exp7(t))
+        cons_out = gl.sub(out_w, final)
+
+        return gl.concat(
+            [
+                cons_a.reshape(48, m),
+                cons_int,
+                cons_b.reshape(36, m),
+                cons_out,
+            ],
+            axis=0,
+        )
+
+    def fill_row(self, get, set_):
+        ext_rcs = ps.external_round_constants()
+        int_rcs = ps.internal_round_constants()
+        state = np.array([get(self.W_IN + i) for i in range(12)], dtype=np.uint64)
+        state = ps._external_linear_np(state)
+        for r in range(4):
+            sb = ps._sbox_np(F.add(state, ext_rcs[r]))
+            for i in range(12):
+                set_(self.W_EXT_A + 12 * r + i, int(sb[i]))
+            state = ps._external_linear_np(sb)
+        diag = ps.internal_diag()
+        for k in range(22):
+            x0 = ps._sbox_np(F.add(state[0], int_rcs[k]))
+            set_(self.W_INT + k, int(x0))
+            state = np.concatenate([np.atleast_1d(x0), state[1:]])
+            state = ps._internal_linear_np(state, diag)
+        for r in range(3):
+            sb = ps._sbox_np(F.add(state, ext_rcs[4 + r]))
+            for i in range(12):
+                set_(self.W_EXT_B + 12 * r + i, int(sb[i]))
+            state = ps._external_linear_np(sb)
+        sb = ps._sbox_np(F.add(state, ext_rcs[7]))
+        out = ps._external_linear_np(sb)
+        for i in range(12):
+            set_(self.W_OUT + i, int(out[i]))
+
+
+def _lin_comb(ctx, terms):
+    acc = None
+    for coef, v in terms:
+        t = v if coef == 1 else ctx.mul_const(v, coef)
+        acc = t if acc is None else ctx.add(acc, t)
+    return acc
+
+
+def _brow(a, shape):
+    """Broadcast a GF (m,) row (or scalar) to (k, m)."""
+    import jax.numpy as jnp
+
+    from ..field.goldilocks import GF as _GF
+
+    return _GF(jnp.broadcast_to(a.lo, shape), jnp.broadcast_to(a.hi, shape))
+
+
+def _ext_linear_lanes(gl, state):
+    """Poseidon2 external layer on GF (12, m) (lane-major)."""
+    m4 = ((5, 7, 1, 3), (4, 6, 1, 1), (1, 3, 5, 7), (1, 1, 4, 6))
+    g = state.reshape(3, 4, -1)
+    ys = []
+    for i in range(4):
+        acc = None
+        for j in range(4):
+            col = g[:, j]  # (3, m)
+            term = gl.mul_const(col, m4[i][j]) if m4[i][j] != 1 else col
+            acc = term if acc is None else gl.add(acc, term)
+        ys.append(acc)  # (3, m)
+    y = gl.stack(ys, axis=1)  # (3, 4, m)
+    s = gl.add(gl.add(y[0], y[1]), y[2])  # (4, m)
+    out = gl.add(y, _brow(s, (3,) + s.lo.shape))
+    return out.reshape(12, -1)
+
+
+@dataclass(frozen=True)
+class BaseSumGate(Gate):
+    """Binary decomposition: wire_0 = sum b_i 2^i, b_i boolean.
+
+    Wires: [value, b_0 .. b_{num_bits-1}]."""
+
+    num_bits: int
+
+    def key(self):
+        return f"base_sum{self.num_bits}"
+
+    @property
+    def num_constraints(self):
+        return self.num_bits + 1
+
+    def eval(self, ctx):
+        constraints = []
+        acc = None
+        for i in range(self.num_bits):
+            b = ctx.wire(1 + i)
+            constraints.append(ctx.mul(b, ctx.add_const(b, -1)))
+            t = ctx.mul_const(b, 1 << i) if i else b
+            acc = t if acc is None else ctx.add(acc, t)
+        constraints.append(ctx.sub(ctx.wire(0), acc))
+        return constraints
+
+    def eval_batched(self, ctx: DeviceBatchCtx):
+        from ..field import gf_np as Fnp
+        from ..field import goldilocks as gl
+
+        bits = ctx.wire_rows(range(1, 1 + self.num_bits))  # (nb, m)
+        minus1 = _brow(gl.constant(P_INT - 1, ()), bits.lo.shape)
+        bools = gl.mul(bits, gl.add(bits, minus1))
+        pows = gl.from_u64(
+            np.array([(1 << i) % P_INT for i in range(self.num_bits)], dtype=np.uint64)
+        )
+        pows_b = _brow(
+            type(bits)(pows.lo[:, None], pows.hi[:, None]), bits.lo.shape
+        )
+        weighted = gl.mul(bits, pows_b)
+        total = gl.sum_tree(weighted, axis=0)[0]
+        recomb = gl.sub(ctx.wires[0], total)
+        return gl.concat([bools, recomb.reshape(1, -1)], axis=0)
+
+    def fill_row(self, get, set_):
+        v = get(0)
+        for i in range(self.num_bits):
+            set_(1 + i, (v >> i) & 1)

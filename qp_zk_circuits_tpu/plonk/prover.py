@@ -1,0 +1,377 @@
+"""PLONK prover: trace -> commitments -> permutation argument -> quotient -> FRI.
+
+The reference's hot loop (SURVEY §3.1: "witness generation -> trace LDE ->
+Poseidon2 Merkle commit -> constraint/quotient eval over LDE -> FRI") mapped
+TPU-first:
+
+  * trace interpolation, LDEs, Merkle levels, the whole constraint/quotient
+    evaluation and the FRI folds are batched device graphs (jitted once per
+    circuit shape, cached on CircuitData);
+  * witness generation, transcripts, opening bookkeeping and proof assembly
+    stay on host;
+  * the permutation argument's running products use log-doubling prefix
+    products (vectorised, no sequential scan).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..field import extension as ext
+from ..field import gf_np as F
+from ..field import goldilocks as gl
+from ..field.goldilocks import GF
+from ..fri import oracle as fo
+from ..fri.prover import fri_prove
+from ..hash import poseidon2 as ps
+from ..poly import ntt
+from . import transcript as ts
+from .builder import CircuitData, PartialWitness, generate_witness
+from .gates import DeviceBaseCtx
+from .proof import OpeningSet, Proof, fri_instance, zs_pp_layout
+from .vanishing import DeviceAlg, eval_constraints, num_partial_products, permutation_chunks
+
+P = 0xFFFFFFFF00000001
+
+
+def _prefix_prod_inclusive(a: np.ndarray) -> np.ndarray:
+    """Inclusive prefix field product along axis 0 (log-doubling, vectorised)."""
+    out = a.copy()
+    shift = 1
+    n = out.shape[0]
+    while shift < n:
+        out[shift:] = F.mul(out[shift:], out[:-shift])
+        shift *= 2
+    return out
+
+
+def compute_permutation_polys(data: CircuitData, trace: np.ndarray, betas, gammas):
+    """Z and partial-product columns per challenge -> (num_cols, n) u64."""
+    cfg = data.config
+    nr = cfg.num_routed_wires
+    qdf = cfg.max_quotient_degree_factor
+    chunks = permutation_chunks(nr, qdf)
+    npp = num_partial_products(nr, qdf)
+    wires = trace[:nr]  # (nr, n)
+    zs, pps = [], []
+    for c in range(cfg.num_challenges):
+        beta, gamma = np.uint64(betas[c]), np.uint64(gammas[c])
+        num = F.add(F.add(wires, F.mul(beta, data.id_coords)), gamma)
+        den = F.add(F.add(wires, F.mul(beta, data.sigma_vals)), gamma)
+        cn = np.stack([_colprod(num[ch]) for ch in chunks])  # (nchunks, n)
+        cd = np.stack([_colprod(den[ch]) for ch in chunks])
+        cd_inv = F.inv(cd)
+        ratios = F.mul(cn, cd_inv)  # (nchunks, n)
+        row_ratio = _colprod(ratios)
+        z_incl = _prefix_prod_inclusive(row_ratio)
+        z = np.concatenate([[np.uint64(1)], z_incl[:-1]])
+        zs.append(z)
+        # pp_j = Z * prod_{t<=j} ratios_t  for j < npp
+        run = z.copy()
+        for j in range(npp):
+            run = F.mul(run, ratios[j])
+            pps.append(run.copy())
+    return np.stack(zs + pps)  # [Z_0, Z_1, pp_0_*, pp_1_*]? see note below
+
+
+def _colprod(a: np.ndarray) -> np.ndarray:
+    out = a[0].copy()
+    for i in range(1, a.shape[0]):
+        out = F.mul(out, a[i])
+    return out
+
+
+def _quotient_fn(data: CircuitData):
+    """Build (once per circuit) the jitted quotient evaluator."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = data.config
+    nc = cfg.num_challenges
+    nr = cfg.num_routed_wires
+    qdf = cfg.max_quotient_degree_factor
+    npp = num_partial_products(nr, qdf)
+    rate = 1 << cfg.rate_bits
+    n = data.n
+    m = n * rate
+    nconst = data.const_cols.shape[0]
+    nsel = data.num_selectors
+    from .builder import coset_shifts
+
+    ks = [int(k) for k in coset_shifts(nr)]
+
+    from .gates import DeviceBatchCtx, _brow
+
+    ks_arr = np.array(ks, dtype=np.uint64)
+
+    def run(wires_lde, consts_lde, zs_pp_lde, alphas, betas, gammas, pi_hash, xs, l1, inv_zh, inv_shift_pows):
+        wires_stack = wires_lde[: cfg.num_wires]
+        constants_vals = [consts_lde[k] for k in range(nconst)]
+        ctx = DeviceBatchCtx(wires_stack, constants_vals, pi_hash)
+
+        # gate constraints, selector-masked, stacked (K_gates, m)
+        parts = []
+        for s, gate in enumerate(data.gate_types):
+            cons = gate.eval_batched(ctx)  # (k, m)
+            sel = consts_lde[nconst + s]
+            parts.append(gl.mul(cons, _brow(sel, cons.lo.shape)))
+
+        # permutation constraints (vectorised): per challenge
+        routed = wires_lde[:nr]  # (nr, m)
+        sigma = GF(
+            consts_lde.lo[nconst + nsel : nconst + nsel + nr],
+            consts_lde.hi[nconst + nsel : nconst + nsel + nr],
+        )
+        kvec = gl.from_u64(ks_arr)
+        ids = gl.mul(
+            GF(jnp.broadcast_to(kvec.lo[:, None], (nr, m)), jnp.broadcast_to(kvec.hi[:, None], (nr, m))),
+            _brow(xs, (nr, m)),
+        )
+        nchunks = nr // qdf
+        for c in range(nc):
+            beta = _b(alphas_like(alphas, betas, c), (nr, m))
+            gamma = _b(alphas_like(alphas, gammas, c), (nr, m))
+            z = zs_pp_lde[c]
+            z_next = GF(jnp.roll(z.lo, -rate, axis=0), jnp.roll(z.hi, -rate, axis=0))
+            num = gl.add(gl.add(routed, gl.mul(beta, ids)), gamma)
+            den = gl.add(gl.add(routed, gl.mul(beta, sigma)), gamma)
+            cn = _segment_prod(num.reshape(nchunks, qdf, m))  # (nchunks, m)
+            cd = _segment_prod(den.reshape(nchunks, qdf, m))
+            pp_rows = [zs_pp_lde[nc + c * npp + j] for j in range(npp)]
+            prevs = gl.stack([z] + pp_rows, axis=0)  # (nchunks, m)
+            nxts = gl.stack(pp_rows + [z_next], axis=0)
+            rel = gl.sub(gl.mul(nxts, cd), gl.mul(prevs, cn))
+            boundary = gl.mul(l1, gl.sub(z, gl.ones(z.lo.shape)))
+            parts.append(boundary.reshape(1, m))
+            parts.append(rel)
+
+        all_cons = gl.concat(parts, axis=0)  # (K, m)
+        k_total = all_cons.lo.shape[0]
+
+        # per-challenge alpha powers via scan, weighted sum via tree
+        out_chunks = []
+        for c in range(nc):
+            def pow_body(carry, _):
+                return gl.mul(carry, alphas[c]), carry
+
+            _, apows = jax.lax.scan(pow_body, gl.ones(()), None, length=k_total)
+            apows_b = GF(
+                jnp.broadcast_to(apows.lo[:, None], (k_total, m)),
+                jnp.broadcast_to(apows.hi[:, None], (k_total, m)),
+            )
+            acc = gl.sum_tree(gl.mul(all_cons, apows_b), axis=0)[0]
+            t_evals = gl.mul(acc, inv_zh)
+            t_coeffs = ntt.intt_j(t_evals)
+            t_coeffs = gl.mul(t_coeffs, inv_shift_pows)
+            out_chunks.append(t_coeffs.reshape(rate, n))
+        return gl.concat(out_chunks, axis=0)  # (nc*qdf, n) — qdf == rate
+
+    def _b(a: GF, shape):
+        return GF(jnp.broadcast_to(a.lo, shape), jnp.broadcast_to(a.hi, shape))
+
+    def alphas_like(_, vec, c):
+        return vec[c]
+
+    def _segment_prod(a: GF) -> GF:
+        # product over axis 1 via log-tree halving
+        while a.lo.shape[1] > 1:
+            half = a.lo.shape[1] // 2
+            a = gl.mul(a[:, :half], a[:, half : 2 * half])
+        return GF(a.lo[:, 0], a.hi[:, 0])
+
+    return jax.jit(run)
+
+
+def prove(data: CircuitData, pw: PartialWitness, seed: int | None = None) -> Proof:
+    cfg = data.config
+    n = data.n
+    rate_bits = cfg.rate_bits
+    cap_h = cfg.fri_config.cap_height
+    assert cfg.max_quotient_degree_factor == (1 << rate_bits), (
+        "quotient evaluation reuses the rate-blowup LDE domain; qdf must equal 2^rate_bits"
+    )
+    rng = np.random.default_rng(seed)
+
+    # 1. witness
+    trace, pis = generate_witness(data, pw, rng)
+    pi_hash = ps.hash_no_pad(pis)
+
+    # 2. wires commitment
+    wires_coeffs = np.asarray(gl.to_u64(_intt_dev()(gl.from_u64(trace))), dtype=np.uint64)
+    wires_o = fo.commit(
+        wires_coeffs, rate_bits, cap_h, blinding=cfg.zero_knowledge,
+        salt_seed=int(rng.integers(0, 2**63)),
+    )
+
+    ch = ts.Challenger()
+    ch.observe_many(data.circuit_digest)
+    ch.observe_many(pi_hash)
+    ch.observe_cap(wires_o.cap)
+    betas = ch.challenge_many(cfg.num_challenges)
+    gammas = ch.challenge_many(cfg.num_challenges)
+
+    # 3. permutation argument
+    zpp = compute_permutation_polys(data, trace, betas, gammas)
+    zpp_coeffs = np.asarray(gl.to_u64(_intt_dev()(gl.from_u64(zpp))), dtype=np.uint64)
+    zs_pp_o = fo.commit(
+        zpp_coeffs, rate_bits, cap_h, blinding=cfg.zero_knowledge,
+        salt_seed=int(rng.integers(0, 2**63)),
+    )
+    ch.observe_cap(zs_pp_o.cap)
+    alphas = ch.challenge_many(cfg.num_challenges)
+
+    # 4. quotient
+    if data.__dict__.get("_quot_jit") is None:
+        data.__dict__["_quot_jit"] = _quotient_fn(data)
+    m = n << rate_bits
+    xs_host = F.mul(
+        F.powers_table(F.primitive_root_of_unity(data.degree_bits + rate_bits), m),
+        F.MULTIPLICATIVE_GROUP_GENERATOR,
+    )
+    l1_host, inv_zh_host = _l1_and_inv_zh(data, xs_host)
+    inv_shift_pows = F.powers_table(F.inv(F.MULTIPLICATIVE_GROUP_GENERATOR), m)
+    t_chunks = data.__dict__["_quot_jit"](
+        wires_o.lde,
+        data.constants_oracle.lde,
+        zs_pp_o.lde,
+        gl.from_u64(np.asarray(alphas)),
+        gl.from_u64(np.asarray(betas)),
+        gl.from_u64(np.asarray(gammas)),
+        gl.from_u64(pi_hash),
+        gl.from_u64(xs_host),
+        gl.from_u64(l1_host),
+        gl.from_u64(inv_zh_host),
+        gl.from_u64(inv_shift_pows),
+    )
+    quotient_coeffs = np.asarray(gl.to_u64(t_chunks), dtype=np.uint64)
+    quotient_o = fo.commit(
+        quotient_coeffs, rate_bits, cap_h, blinding=cfg.zero_knowledge,
+        salt_seed=int(rng.integers(0, 2**63)),
+    )
+    ch.observe_cap(quotient_o.cap)
+    zeta = ch.challenge_ext()
+    g_n = F.primitive_root_of_unity(data.degree_bits)
+    zeta_next = ext.scalar_mul(zeta.reshape(1, 2), g_n)[0]
+
+    # 5. openings
+    consts_open = data.constants_oracle.eval_at_ext(zeta)
+    wires_open = wires_o.eval_at_ext(zeta)
+    zpp_open = zs_pp_o.eval_at_ext(zeta)
+    zpp_next_open = zs_pp_o.eval_at_ext(zeta_next)
+    quot_open = quotient_o.eval_at_ext(zeta)
+    nconst = data.const_cols.shape[0]
+    nsel = data.num_selectors
+    nz, npp_total = zs_pp_layout(cfg)
+    openings = OpeningSet(
+        constants=consts_open[:nconst],
+        selectors=consts_open[nconst : nconst + nsel],
+        sigmas=consts_open[nconst + nsel :],
+        wires=wires_open,
+        zs=zpp_open[:nz],
+        zs_next=zpp_next_open[:nz],
+        pps=zpp_open[nz:],
+        quotient=quot_open,
+    )
+    openings.observe_into(ch)
+
+    # 6. FRI
+    instance = fri_instance(data, zeta, zeta_next)
+    fri_openings = [openings.batch_zeta(), openings.batch_zeta_next()]
+    oracles = [data.constants_oracle, wires_o, zs_pp_o, quotient_o]
+    fri_proof = fri_prove(
+        oracles, instance, fri_openings, ch, cfg.fri_config, data.degree_bits
+    )
+    return Proof(
+        wires_cap=wires_o.cap,
+        zs_pp_cap=zs_pp_o.cap,
+        quotient_cap=quotient_o.cap,
+        openings=openings,
+        fri_proof=fri_proof,
+        public_inputs=pis,
+    )
+
+
+def _l1_and_inv_zh(data: CircuitData, xs: np.ndarray):
+    """L_1(x) = (x^n - 1) / (n (x - 1)) and 1/Z_H(x) over the LDE coset."""
+    n = data.n
+    xn = F.pow_scalar(xs, n)
+    zh = F.sub(xn, np.uint64(1))
+    inv_zh = F.inv(zh)
+    denom = F.mul(np.uint64(n), F.sub(xs, np.uint64(1)))
+    l1 = F.mul(zh, F.inv(denom))
+    return l1, inv_zh
+
+
+import functools
+
+
+@functools.cache
+def _intt_dev():
+    import jax
+
+    return jax.jit(ntt.intt_j)
+
+
+def verify_vanishing_at_zeta(data, openings: OpeningSet, pi_hash, alphas, betas, gammas, zeta):
+    """Host check: alpha-combined constraints at zeta == Z_H(zeta)*t(zeta)."""
+    from ..field import extension as xt
+    from .gates import HostExtCtx
+    from .vanishing import HostExtAlg
+
+    cfg = data.config
+    nc = cfg.num_challenges
+    nr = cfg.num_routed_wires
+    alg = HostExtAlg()
+    wires = [openings.wires[i] for i in range(cfg.num_wires)]
+    constants_vals = [openings.constants[k] for k in range(openings.constants.shape[0])]
+    selector_vals = [openings.selectors[s] for s in range(data.num_selectors)]
+    sigma_vals = [openings.sigmas[i] for i in range(nr)]
+    zs = [openings.zs[c] for c in range(nc)]
+    zs_next = [openings.zs_next[c] for c in range(nc)]
+    npp = num_partial_products(nr, cfg.max_quotient_degree_factor)
+    pps = [[openings.pps[c * npp + j] for j in range(npp)] for c in range(nc)]
+    from .builder import coset_shifts
+
+    ks = coset_shifts(nr)
+    id_coords = [xt.scalar_mul(zeta.reshape(1, 2), np.uint64(k))[0] for k in ks]
+    n = data.n
+    zeta_n = xt.pow_scalar(zeta.reshape(1, 2), n)[0]
+    zh = xt.sub(zeta_n, xt.ext(np.uint64(1)).reshape(2))
+    one = np.array([1, 0], dtype=np.uint64)
+    l1 = xt.mul(
+        zh.reshape(2),
+        xt.inv(
+            xt.scalar_mul(
+                xt.sub(zeta.reshape(1, 2), one.reshape(1, 2)), np.uint64(n)
+            )
+        )[0],
+    )
+    ctx = HostExtCtx(wires, constants_vals, [pi_hash_ext(pi_hash, i) for i in range(4)])
+    betas_e = [np.array([b, 0], dtype=np.uint64) for b in betas]
+    gammas_e = [np.array([g, 0], dtype=np.uint64) for g in gammas]
+    constraints = eval_constraints(
+        ctx, data, wires, constants_vals, selector_vals, sigma_vals,
+        zs, zs_next, pps, id_coords, l1, betas_e, gammas_e, alg,
+    )
+    qdf = cfg.max_quotient_degree_factor
+    ok = True
+    for c in range(nc):
+        acc = np.zeros(2, dtype=np.uint64)
+        apow = one.copy()
+        alpha_e = np.array([alphas[c], 0], dtype=np.uint64)
+        for cons in constraints:
+            acc = xt.add(acc, xt.mul(apow, cons))
+            apow = xt.mul(apow, alpha_e)
+        # t_c(zeta) = sum_j zeta^{n j} t_{c,j}(zeta)
+        t = np.zeros(2, dtype=np.uint64)
+        zpow = one.copy()
+        for j in range(qdf):
+            t = xt.add(t, xt.mul(zpow, openings.quotient[c * qdf + j]))
+            zpow = xt.mul(zpow, zeta_n)
+        if not np.array_equal(acc, xt.mul(zh, t)):
+            ok = False
+    return ok
+
+
+def pi_hash_ext(pi_hash, i):
+    return np.array([pi_hash[i], 0], dtype=np.uint64)

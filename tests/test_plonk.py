@@ -1,0 +1,150 @@
+"""End-to-end PLONK: build tiny circuits, prove on device, verify on host.
+
+Covers: arithmetic/constant gates, copy constraints, public-input hashing
+(Poseidon2 in-circuit == host sponge), range checks, zero-knowledge mode,
+and rejection of tampered proofs/PIs.
+"""
+
+import numpy as np
+import pytest
+
+from qp_zk_circuits_tpu.field import gf_np as F
+from qp_zk_circuits_tpu.fri.config import FriConfig, FriReductionStrategy
+from qp_zk_circuits_tpu.plonk.builder import CircuitBuilder, PartialWitness, WitnessError
+from qp_zk_circuits_tpu.plonk.config import CircuitConfig
+from qp_zk_circuits_tpu.plonk.prover import prove
+from qp_zk_circuits_tpu.plonk.verifier import VerificationError, verify
+
+P = 0xFFFFFFFF00000001
+
+TEST_FRI = FriConfig(
+    rate_bits=3,
+    cap_height=1,
+    proof_of_work_bits=6,
+    num_query_rounds=10,
+    reduction_strategy=FriReductionStrategy(4, 5),
+)
+SMALL = CircuitConfig(
+    num_wires=16, num_routed_wires=16, num_challenges=2, fri_config=TEST_FRI
+)
+WIDE = CircuitConfig(
+    num_wires=135, num_routed_wires=80, num_challenges=2, fri_config=TEST_FRI
+)
+WIDE_ZK = CircuitConfig(
+    num_wires=135,
+    num_routed_wires=80,
+    num_challenges=2,
+    zero_knowledge=True,
+    fri_config=TEST_FRI,
+)
+
+
+@pytest.fixture(scope="module")
+def small_proof():
+    b = CircuitBuilder(SMALL)
+    x = b.add_virtual_target()
+    y = b.add_virtual_target()
+    z = b.mul(x, y)
+    w = b.add_const(z, 7)
+    expect = b.constant((3 * 5 + 7) % P)
+    b.connect(w, expect)
+    data = b.build()
+    pw = PartialWitness()
+    pw.set_target(x, 3)
+    pw.set_target(y, 5)
+    proof = prove(data, pw, seed=1)
+    return data, proof, (x, y)
+
+
+@pytest.fixture(scope="module")
+def pi_proof():
+    """135-wire circuit with hashed public inputs + range check + select."""
+    b = CircuitBuilder(WIDE)
+    x = b.add_virtual_target()
+    y = b.add_virtual_target()
+    z = b.mul(x, y)
+    b.register_public_inputs([x, y, z])
+    b.range_check(x, 32)
+    flag = b.is_equal(x, y)
+    sel = b.select(flag, x, z)
+    b.connect(sel, z)  # x != y so select must pick z
+    data = b.build()
+    pw = PartialWitness()
+    pw.set_target(x, 123)
+    pw.set_target(y, 456)
+    proof = prove(data, pw, seed=2)
+    return data, proof
+
+
+class TestSmallCircuit:
+    def test_roundtrip(self, small_proof):
+        data, proof, _ = small_proof
+        verify(data, proof)  # must not raise
+
+    def test_bad_witness_fails(self, small_proof):
+        data, _, (x, y) = small_proof
+        pw = PartialWitness()
+        pw.set_target(x, 3)
+        pw.set_target(y, 6)  # 3*6+7 != 22 -> copy constraint to constant conflicts
+        with pytest.raises(WitnessError):
+            prove(data, pw, seed=3)
+
+    def test_tampered_opening_fails(self, small_proof):
+        import copy
+
+        data, proof, _ = small_proof
+        bad = copy.deepcopy(proof)
+        bad.openings.wires = bad.openings.wires.copy()
+        bad.openings.wires[0, 0] = F.add(bad.openings.wires[0, 0], np.uint64(1))
+        with pytest.raises(VerificationError):
+            verify(data, bad)
+
+    def test_tampered_quotient_cap_fails(self, small_proof):
+        import copy
+
+        data, proof, _ = small_proof
+        bad = copy.deepcopy(proof)
+        bad.quotient_cap = bad.quotient_cap.copy()
+        bad.quotient_cap[0, 0] ^= np.uint64(1)
+        with pytest.raises(VerificationError):
+            verify(data, bad)
+
+
+class TestPublicInputs:
+    def test_roundtrip(self, pi_proof):
+        data, proof = pi_proof
+        verify(data, proof)
+        assert list(proof.public_inputs) == [123, 456, 123 * 456]
+
+    def test_tampered_pi_fails(self, pi_proof):
+        import copy
+
+        data, proof = pi_proof
+        bad = copy.deepcopy(proof)
+        bad.public_inputs = bad.public_inputs.copy()
+        bad.public_inputs[2] = 999  # claim a different product
+        with pytest.raises(VerificationError):
+            verify(data, bad)
+
+
+class TestZeroKnowledge:
+    def test_zk_roundtrip_and_distinct_proofs(self):
+        b = CircuitBuilder(WIDE_ZK)
+        x = b.add_virtual_target()
+        y = b.add_virtual_target()
+        z = b.mul(x, y)
+        b.register_public_inputs([z])
+        data = b.build()
+        pw = PartialWitness()
+        pw.set_target(x, 11)
+        pw.set_target(y, 13)
+        p1 = prove(data, pw, seed=10)
+        p2 = prove(data, pw, seed=11)
+        verify(data, p1)
+        verify(data, p2)
+        # row blinding + salts: same witness, different commitments
+        assert not np.array_equal(p1.wires_cap, p2.wires_cap)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
