@@ -543,5 +543,12 @@ class BaseSumGate(Gate):
 
     def fill_row(self, get, set_):
         v = get(0)
+        if v >> self.num_bits:
+            # mirror the reference's BaseSplitGenerator panic: a range-checked
+            # value that does not fit must fail at witness time, not produce
+            # an unverifiable trace
+            raise ValueError(
+                f"range check failed: value {v} does not fit in {self.num_bits} bits"
+            )
         for i in range(self.num_bits):
             set_(1 + i, (v >> i) & 1)

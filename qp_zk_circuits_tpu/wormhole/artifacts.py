@@ -1,0 +1,203 @@
+"""Circuit artifact generation, pinning and atomic publication.
+
+Port of reference `wormhole/circuit-builder/src/lib.rs` + the pinning policy
+of `wormhole/verifier/src/lib.rs:101-127` and
+`aggregator/src/common/utils.rs:27-158`:
+
+  * artifact set per build: `common.bin`, `verifier.bin`, `dummy_proof.bin`
+    (+ aggregation-layer artifacts and `config.json` in later layers);
+  * **never** serialize prover data (exfiltration rationale);
+  * loads enforce size caps BEFORE allocation (1 MiB leaf / 64 MiB agg);
+  * canonical pinning: artifacts are compared raw-byte against a rebuild
+    from source (never deserialize untrusted common data), and keccak256
+    pins guard the leaf verifier artifacts;
+  * publication is ATOMIC: write into a same-filesystem staging directory,
+    then rename-swap with move-aside + rollback.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import secrets
+import shutil
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from ..hash.keccak import keccak256
+from ..plonk.serialization import VerifierCircuitData, proof_to_bytes
+from . import inputs as wi
+
+MAX_VERIFIER_ARTIFACT_BYTES = 1 << 20  # 1 MiB (leaf artifacts)
+MAX_AGG_ARTIFACT_BYTES = 64 << 20  # 64 MiB (aggregation artifacts)
+
+LEAF_COMMON_BIN = "common.bin"
+LEAF_VERIFIER_BIN = "verifier.bin"
+DUMMY_PROOF_BIN = "dummy_proof.bin"
+CONFIG_JSON = "config.json"
+
+
+class ArtifactError(ValueError):
+    pass
+
+
+def read_artifact_file(path: Path, max_bytes: int) -> bytes:
+    """Size-capped read: stat BEFORE reading so oversized files cannot force
+    allocation (reference `verifier/src/lib.rs:143-159`)."""
+    size = os.path.getsize(path)
+    if size > max_bytes:
+        raise ArtifactError(f"artifact {path} exceeds size cap ({size} > {max_bytes})")
+    return Path(path).read_bytes()
+
+
+def artifact_keccak(data: bytes) -> str:
+    return keccak256(data).hex()
+
+
+@dataclass(frozen=True)
+class CircuitBinsConfig:
+    """config.json schema binding artifact sets to their (L, N) shape
+    (reference `aggregator/src/config.rs`)."""
+
+    num_leaf_proofs: int
+    num_private_batch_proofs: int
+
+    def validate(self) -> None:
+        wi.validate_proof_count(self.num_leaf_proofs, "num_leaf_proofs")
+        wi.validate_proof_count(self.num_private_batch_proofs, "num_private_batch_proofs")
+
+    def save(self, path: Path) -> None:
+        self.validate()
+        Path(path).write_text(
+            json.dumps(
+                {
+                    "num_leaf_proofs": self.num_leaf_proofs,
+                    "num_private_batch_proofs": self.num_private_batch_proofs,
+                },
+                indent=2,
+            )
+        )
+
+    @classmethod
+    def load(cls, path: Path) -> "CircuitBinsConfig":
+        raw = json.loads(read_artifact_file(Path(path), 1 << 16))
+        # legacy-key alias (reference config.rs:19-88)
+        n_leaf = raw.get("num_leaf_proofs", raw.get("num_proofs"))
+        n_pb = raw.get("num_private_batch_proofs", raw.get("num_agg_proofs"))
+        if n_leaf is None or n_pb is None:
+            raise ArtifactError("config.json missing proof-count keys")
+        cfg = cls(num_leaf_proofs=int(n_leaf), num_private_batch_proofs=int(n_pb))
+        cfg.validate()
+        return cfg
+
+
+def generate_leaf_circuit_binaries(out_dir: Path, prover=None, seed: int = 0) -> dict:
+    """Build the leaf circuit from source and write common.bin / verifier.bin /
+    dummy_proof.bin into `out_dir`. Returns {name: keccak_hex}."""
+    from .dummy_proof import generate_dummy_proof
+    from .prover import WormholeProver
+
+    prover = prover or WormholeProver()
+    vdata = VerifierCircuitData.from_circuit_data(prover.data)
+    common_bytes = vdata.to_bytes()  # config + gates + layout
+    verifier_bytes = vdata.to_bytes()  # lean view equals common in our engine
+    dummy = generate_dummy_proof(prover, seed=seed)
+    dummy_bytes = proof_to_bytes(dummy)
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / LEAF_COMMON_BIN).write_bytes(common_bytes)
+    (out_dir / LEAF_VERIFIER_BIN).write_bytes(verifier_bytes)
+    (out_dir / DUMMY_PROOF_BIN).write_bytes(dummy_bytes)
+    return {
+        LEAF_COMMON_BIN: artifact_keccak(common_bytes),
+        LEAF_VERIFIER_BIN: artifact_keccak(verifier_bytes),
+        DUMMY_PROOF_BIN: artifact_keccak(dummy_bytes),
+    }
+
+
+def load_canonical_leaf_verifier_data(bins_dir: Path, rebuild=None) -> VerifierCircuitData:
+    """Load verifier.bin and pin it by RAW-BYTE equality against a from-source
+    rebuild — untrusted common data is never deserialized before the pin
+    (poisoned-length rationale, reference `utils.rs:126-158`)."""
+    from .leaf_circuit import WormholeCircuit
+
+    loaded = read_artifact_file(Path(bins_dir) / LEAF_VERIFIER_BIN, MAX_VERIFIER_ARTIFACT_BYTES)
+    if rebuild is None:
+        rebuild = VerifierCircuitData.from_circuit_data(WormholeCircuit().build())
+    canonical = rebuild.to_bytes()
+    if loaded != canonical:
+        raise ArtifactError("verifier.bin does not match canonical from-source rebuild")
+    return rebuild
+
+
+# ---------------------------------------------------------------------------
+# atomic staged publication (reference circuit-builder/src/lib.rs:115-310)
+
+
+def create_staging_dir(target: Path) -> Path:
+    """Same-filesystem sibling with a random name (rename-swap capable)."""
+    target = Path(target)
+    parent = target.parent if target.parent != Path("") else Path(".")
+    parent.mkdir(parents=True, exist_ok=True)
+    staging = parent / f".staging-{target.name}-{secrets.token_hex(6)}"
+    staging.mkdir()
+    return staging
+
+
+def commit_staging_dir(staging: Path, target: Path, rename=os.rename) -> None:
+    """Atomic swap: move aside any existing target, rename staging in, clean
+    up; on a failed swap-in, roll the old directory back; on double failure
+    both copies are preserved. `rename` is injectable for fault tests
+    (reference `circuit-builder/src/lib.rs:217-310, 458-587`)."""
+    staging, target = Path(staging), Path(target)
+    moved_aside = None
+    if target.exists():
+        moved_aside = target.parent / f".old-{target.name}-{secrets.token_hex(6)}"
+        rename(str(target), str(moved_aside))
+    try:
+        rename(str(staging), str(target))
+    except OSError:
+        if moved_aside is not None:
+            try:
+                rename(str(moved_aside), str(target))
+            except OSError as rollback_err:
+                raise ArtifactError(
+                    f"swap-in failed AND rollback failed; data preserved at "
+                    f"{staging} and {moved_aside}"
+                ) from rollback_err
+        raise ArtifactError(f"failed to swap staging dir into {target}; rolled back")
+    if moved_aside is not None:
+        shutil.rmtree(moved_aside, ignore_errors=True)
+
+
+def generate_all_circuit_binaries(
+    output: Path,
+    num_leaf_proofs: int = 8,
+    num_private_batch_proofs: int | None = None,
+    include_aggregation: bool = False,
+    seed: int = 0,
+) -> None:
+    """Full artifact-set generation with atomic publish.
+
+    Leaf artifacts always; aggregation artifacts when `include_aggregation`
+    (wired up as the recursive layers land). config.json is written LAST
+    inside staging (completion marker) before the atomic swap."""
+    cfg = CircuitBinsConfig(
+        num_leaf_proofs=num_leaf_proofs,
+        num_private_batch_proofs=num_private_batch_proofs or num_leaf_proofs,
+    )
+    cfg.validate()  # before any writes
+    output = Path(output)
+    staging = create_staging_dir(output)
+    try:
+        generate_leaf_circuit_binaries(staging, seed=seed)
+        if include_aggregation:
+            raise NotImplementedError("aggregation artifacts land with the recursion layer")
+        cfg.save(staging / CONFIG_JSON)  # completion marker, written last
+        commit_staging_dir(staging, output)
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise

@@ -1,0 +1,97 @@
+"""Wormhole leaf circuit end-to-end: dummy + real fixtures, PI layout,
+forged-witness rejection, serialization round-trips, artifact pinning."""
+
+import numpy as np
+import pytest
+
+from qp_zk_circuits_tpu.plonk.serialization import (
+    VerifierCircuitData,
+    proof_from_bytes,
+    proof_to_bytes,
+)
+from qp_zk_circuits_tpu.plonk.verifier import VerificationError, verify as plonk_verify
+from qp_zk_circuits_tpu.wormhole import test_helpers as th
+from qp_zk_circuits_tpu.wormhole.prover import WormholeProver
+from qp_zk_circuits_tpu.wormhole.verifier import WormholeVerifier
+
+
+@pytest.fixture(scope="module")
+def leaf_setup():
+    prover = WormholeProver()
+    inputs = th.test_inputs_0()
+    proof = prover.prove_inputs(inputs, seed=1)
+    return prover, proof
+
+
+class TestLeafEndToEnd:
+    def test_dummy_roundtrip(self, leaf_setup):
+        prover, proof = leaf_setup
+        pis = WormholeVerifier(prover.data).verify(proof)
+        assert pis.is_dummy
+        assert pis.asset_id == 0
+
+    def test_real_leaf_roundtrip(self, leaf_setup):
+        prover, _ = leaf_setup
+        i0, i1 = th.two_real_leaves_same_block()
+        p0 = prover.prove_inputs(i0, seed=2)
+        pis0 = WormholeVerifier(prover.data).verify(p0)
+        assert not pis0.is_dummy
+        assert pis0.output_amount_1 == th.DEFAULT_OUTPUT_AMOUNTS[0]
+        assert pis0.block_number == th.DEFAULT_BLOCK_NUMBER
+        assert pis0.volume_fee_bps == th.DEFAULT_VOLUME_FEE_BPS
+
+    def test_forged_fee_witness_fails(self, leaf_setup):
+        """Outputs exceeding input after fees must be unprovable."""
+        import dataclasses
+
+        prover, _ = leaf_setup
+        i0, _ = th.two_real_leaves_same_block()
+        bad_public = dataclasses.replace(i0.public, output_amount_1=10_000)
+        bad = dataclasses.replace(i0, public=bad_public)
+        from qp_zk_circuits_tpu.plonk.builder import WitnessError
+
+        with pytest.raises((WitnessError, ValueError, AssertionError)):
+            prover.prove_inputs(bad, seed=3)
+
+    def test_tampered_pi_rejected(self, leaf_setup):
+        import copy
+
+        prover, proof = leaf_setup
+        bad = copy.deepcopy(proof)
+        bad.public_inputs = bad.public_inputs.copy()
+        bad.public_inputs[0] = 7  # claim different asset
+        with pytest.raises(VerificationError):
+            WormholeVerifier(prover.data).verify(bad)
+
+    def test_proof_serialization_roundtrip(self, leaf_setup):
+        prover, proof = leaf_setup
+        data = proof_to_bytes(proof)
+        back = proof_from_bytes(data)
+        assert proof_to_bytes(back) == data  # byte-exact determinism
+        plonk_verify(prover.data, back)
+
+    def test_verifier_data_roundtrip_and_verify(self, leaf_setup):
+        prover, proof = leaf_setup
+        vdata = VerifierCircuitData.from_circuit_data(prover.data)
+        blob = vdata.to_bytes()
+        loaded = VerifierCircuitData.from_bytes(blob)
+        assert loaded.to_bytes() == blob
+        # the lean verifier view verifies proofs standalone
+        plonk_verify(loaded, proof)
+        # a tampered cap inside the blob is rejected at load (digest binding)
+        from qp_zk_circuits_tpu.plonk.serialization import SerializationError
+
+        bad_blob = bytearray(blob)
+        bad_blob[-40] ^= 1  # inside the cap/digest tail
+        with pytest.raises(SerializationError):
+            VerifierCircuitData.from_bytes(bytes(bad_blob))
+        # object-level: swapping the digest diverges the transcript -> reject
+        loaded2 = VerifierCircuitData.from_bytes(blob)
+        loaded2.circuit_digest = loaded2.circuit_digest.copy()
+        loaded2.circuit_digest[0] ^= np.uint64(1)
+        with pytest.raises(VerificationError):
+            plonk_verify(loaded2, proof)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
