@@ -154,22 +154,31 @@ def _regroup_leaves(values: GF2, arity_bits: int) -> GF:
     return GF(lo.reshape(mp, 2 * a), hi.reshape(mp, 2 * a))
 
 
-def _device_q(ldes, apows, cbs, inv_xzs):
-    """Q over the domain from per-batch column stacks + transferred small inputs."""
-    q = None
-    for cols, ja, c_b, inv_xz in zip(ldes, apows, cbs, inv_xzs):
-        # S_b(x) = sum_k alpha^k p_k(x): weighted column sum, ext scalar x base col
-        t0 = gl.mul(cols, _bcol(ja.c0, cols.shape))
-        t1 = gl.mul(cols, _bcol(ja.c1, cols.shape))
-        s_b = GF2(gl.sum_tree(t0, axis=0), gl.sum_tree(t1, axis=0))
-        s_b = GF2(GF(s_b.c0.lo[0], s_b.c0.hi[0]), GF(s_b.c1.lo[0], s_b.c1.hi[0]))
-        num = ext.j_sub(s_b, _bcast2(c_b, s_b.shape))
-        contrib = ext.j_mul(num, inv_xz)
-        q = contrib if q is None else ext.j_add(q, contrib)
-    return q
+@functools.cache
+def _get_q_jit(sig: tuple):
+    """Composition evaluator; `sig` = per-batch tuples of (oracle, poly)
+    static indices, so the column gathers happen IN-GRAPH (no eager slicing)."""
+    import jax
+    import jax.numpy as jnp
 
+    def run(oracle_ldes, apows, cbs, inv_xzs):
+        q = None
+        for bi, polys in enumerate(sig):
+            lo = jnp.stack([oracle_ldes[oi].lo[pj] for oi, pj in polys])
+            hi = jnp.stack([oracle_ldes[oi].hi[pj] for oi, pj in polys])
+            cols = GF(lo, hi)
+            ja, c_b, inv_xz = apows[bi], cbs[bi], inv_xzs[bi]
+            # S_b(x) = sum_k alpha^k p_k(x): weighted column sum
+            t0 = gl.mul(cols, _bcol(ja.c0, cols.shape))
+            t1 = gl.mul(cols, _bcol(ja.c1, cols.shape))
+            s_b = GF2(gl.sum_tree(t0, axis=0), gl.sum_tree(t1, axis=0))
+            s_b = GF2(GF(s_b.c0.lo[0], s_b.c0.hi[0]), GF(s_b.c1.lo[0], s_b.c1.hi[0]))
+            num = ext.j_sub(s_b, _bcast2(c_b, s_b.shape))
+            contrib = ext.j_mul(num, inv_xz)
+            q = contrib if q is None else ext.j_add(q, contrib)
+        return q
 
-_device_q_jit = None
+    return jax.jit(run)
 
 
 def compute_composition(
@@ -182,13 +191,6 @@ def compute_composition(
     """Device evaluation of Q over the full LDE domain (natural order).
 
     openings: per batch, (K_b, 2) claimed values for the batch's polys."""
-    global _device_q_jit
-    import jax
-    import jax.numpy as jnp
-
-    if _device_q_jit is None:
-        _device_q_jit = jax.jit(_device_q)
-
     m = 1 << lde_bits
     # host: domain points x_i = g * w^i (base field)
     xs = F.mul(
@@ -196,7 +198,7 @@ def compute_composition(
         F.MULTIPLICATIVE_GROUP_GENERATOR,
     )
     term = 0
-    apows_l, cbs_l, invs_l, ldes_l = [], [], [], []
+    apows_l, cbs_l, invs_l = [], [], []
     for b_idx, batch in enumerate(instance.batches):
         k = len(batch.polys)
         apows = ext.powers_table(np.asarray(alpha, dtype=np.uint64), term + k)[term:]
@@ -209,10 +211,10 @@ def compute_composition(
         apows_l.append(ext.j_from_u64(apows))
         cbs_l.append(ext.j_from_u64(c_b))
         invs_l.append(ext.j_from_u64(inv_xz))
-        lo_list = [oracles[oi].lde.lo[pj] for oi, pj in batch.polys]
-        hi_list = [oracles[oi].lde.hi[pj] for oi, pj in batch.polys]
-        ldes_l.append(GF(jnp.stack(lo_list), jnp.stack(hi_list)))
-    return _device_q_jit(ldes_l, apows_l, cbs_l, invs_l)
+    sig = tuple(tuple(batch.polys) for batch in instance.batches)
+    return _get_q_jit(sig)(
+        [o.lde for o in oracles], apows_l, cbs_l, invs_l
+    )
 
 
 def _bcol(a: GF, shape) -> GF:
@@ -294,8 +296,10 @@ def fri_prove(
 
     # queries
     indices = [challenger.challenge_index(m0) for _ in range(config.num_query_rounds)]
-    # gather all initial rows in one device->host hop per oracle
-    rows_per_oracle = [o.open_rows(indices) for o in oracles]
+    # gather all initial rows of all oracles in ONE device call/transfer
+    from .oracle import open_rows_many
+
+    rows_per_oracle = open_rows_many(oracles, indices)
     query_rounds = []
     for qi, q0 in enumerate(indices):
         initial_rows = [rows_per_oracle[oi][qi] for oi in range(len(oracles))]

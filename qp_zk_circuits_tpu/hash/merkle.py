@@ -77,13 +77,31 @@ class MerkleTree:
 def _jitted_builder(cap_height: int):
     import jax
 
-    return jax.jit(functools.partial(build_levels_j, cap_height=cap_height))
+    def run(leaves):
+        levels = build_levels_j(leaves, cap_height)
+        # ONE fused output: concat all digest levels so the host pays a single
+        # device->host transfer (tunnel round-trips dominate at these sizes)
+        return gl.concat(levels, axis=0)
+
+    return jax.jit(run)
+
+
+def _level_sizes(n: int, cap_height: int) -> list[int]:
+    sizes = [n]
+    while sizes[-1] > (1 << cap_height):
+        sizes.append(sizes[-1] // 2)
+    return sizes
 
 
 def build_merkle_tree(leaves: GF, cap_height: int) -> MerkleTree:
     """Build on device (one jitted graph per shape), materialise levels on host."""
-    levels = _jitted_builder(cap_height)(leaves)
-    host_levels = [gl.to_u64(lv) for lv in levels]
+    stacked = _jitted_builder(cap_height)(leaves)
+    host = gl.to_u64(stacked)
+    host_levels = []
+    off = 0
+    for s in _level_sizes(leaves.shape[0], cap_height):
+        host_levels.append(host[off : off + s])
+        off += s
     return MerkleTree(levels=host_levels, cap_height=cap_height)
 
 

@@ -283,10 +283,30 @@ class CircuitBuilder:
 
     def split_low_high(self, x: int, low_bits: int, total_bits: int) -> tuple[int, int]:
         """x = low + high * 2^low_bits, low < 2^low_bits, high < 2^(total-low)."""
+        if total_bits + 1 > self.config.num_routed_wires:
+            assert low_bits == 32 and total_bits == 64, "wide split only supports 32/64"
+            lo, hi, _ = self.split_64(x)
+            return lo, hi
         bits = self.split_le(x, total_bits)
         low = self._recombine(bits[:low_bits])
         high = self._recombine(bits[low_bits:])
         return low, high
+
+    def split_64(self, x: int) -> tuple[int, int, list[int]]:
+        """64-bit decomposition via TWO 32-bit rows (fits narrow routed-wire
+        configs): returns (lo, hi, all 64 bits little-endian). NOT canonical
+        on its own — see gadgets.split_canonical_u32_halves for the alias
+        exclusion."""
+        lo = self.add_virtual_target()
+        hi = self.add_virtual_target()
+        self._simple_generator(
+            [x], lambda get, x=x: [get(x) & 0xFFFFFFFF, get(x) >> 32], [lo, hi]
+        )
+        recomb = self.mul_const_add(1 << 32, hi, lo)
+        self.connect(recomb, x)
+        lo_bits = self.split_le(lo, 32)
+        hi_bits = self.split_le(hi, 32)
+        return lo, hi, lo_bits + hi_bits
 
     def _recombine(self, bits: list[int]) -> int:
         acc = bits[-1]
@@ -481,18 +501,12 @@ class CircuitData:
         from ..poly import ntt
 
         cols = np.concatenate([self.const_cols, self.sel_cols, self.sigma_vals], axis=0)
-        coeffs = ntt.intt_np(cols) if cols.shape[1] <= 256 else None
-        if coeffs is None:
-            from ..field import goldilocks as gl
-
-            coeffs = np.asarray(
-                gl.to_u64(_intt_device(gl.from_u64(cols))), dtype=np.uint64
-            )
         self.constants_oracle = fo.commit(
-            coeffs,
+            cols,
             self.config.fri_config.rate_bits,
             self.config.fri_config.cap_height,
             blinding=False,
+            from_values=True,
         )
         self.circuit_digest = ps.hash_no_pad(
             np.asarray(self.constants_oracle.cap, dtype=np.uint64).ravel()

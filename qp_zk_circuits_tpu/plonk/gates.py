@@ -436,30 +436,30 @@ class Poseidon2Gate(Gate):
         )
 
     def fill_row(self, get, set_):
-        ext_rcs = ps.external_round_constants()
-        int_rcs = ps.internal_round_constants()
-        state = np.array([get(self.W_IN + i) for i in range(12)], dtype=np.uint64)
-        state = ps._external_linear_np(state)
+        # scalar Python-int path (the numpy tiny-state path costs ~16 ms/row)
+        ext_rcs, int_rcs, diag = ps._int_constants()
+        P = P_INT
+        ext_linear = ps._scalar_ext_linear
+        state = ext_linear([get(self.W_IN + i) for i in range(12)])
         for r in range(4):
-            sb = ps._sbox_np(F.add(state, ext_rcs[r]))
+            sb = [pow(state[i] + ext_rcs[r][i], 7, P) for i in range(12)]
             for i in range(12):
-                set_(self.W_EXT_A + 12 * r + i, int(sb[i]))
-            state = ps._external_linear_np(sb)
-        diag = ps.internal_diag()
+                set_(self.W_EXT_A + 12 * r + i, sb[i])
+            state = ext_linear(sb)
         for k in range(22):
-            x0 = ps._sbox_np(F.add(state[0], int_rcs[k]))
-            set_(self.W_INT + k, int(x0))
-            state = np.concatenate([np.atleast_1d(x0), state[1:]])
-            state = ps._internal_linear_np(state, diag)
+            x0 = pow(state[0] + int_rcs[k], 7, P)
+            set_(self.W_INT + k, x0)
+            state[0] = x0
+            tot = sum(state)
+            state = [(diag[i] * state[i] + tot) % P for i in range(12)]
         for r in range(3):
-            sb = ps._sbox_np(F.add(state, ext_rcs[4 + r]))
+            sb = [pow(state[i] + ext_rcs[4 + r][i], 7, P) for i in range(12)]
             for i in range(12):
-                set_(self.W_EXT_B + 12 * r + i, int(sb[i]))
-            state = ps._external_linear_np(sb)
-        sb = ps._sbox_np(F.add(state, ext_rcs[7]))
-        out = ps._external_linear_np(sb)
+                set_(self.W_EXT_B + 12 * r + i, sb[i])
+            state = ext_linear(sb)
+        out = ext_linear([pow(state[i] + ext_rcs[7][i], 7, P) for i in range(12)])
         for i in range(12):
-            set_(self.W_OUT + i, int(out[i]))
+            set_(self.W_OUT + i, out[i])
 
 
 def _lin_comb(ctx, terms):

@@ -196,11 +196,10 @@ def prove(data: CircuitData, pw: PartialWitness, seed: int | None = None) -> Pro
     trace, pis = generate_witness(data, pw, rng)
     pi_hash = ps.hash_no_pad(pis)
 
-    # 2. wires commitment
-    wires_coeffs = np.asarray(gl.to_u64(_intt_dev()(gl.from_u64(trace))), dtype=np.uint64)
+    # 2. wires commitment (trace stays on device: iNTT + LDE fused)
     wires_o = fo.commit(
-        wires_coeffs, rate_bits, cap_h, blinding=cfg.zero_knowledge,
-        salt_seed=int(rng.integers(0, 2**63)),
+        trace, rate_bits, cap_h, blinding=cfg.zero_knowledge,
+        salt_seed=int(rng.integers(0, 2**63)), from_values=True,
     )
 
     ch = ts.Challenger()
@@ -212,10 +211,9 @@ def prove(data: CircuitData, pw: PartialWitness, seed: int | None = None) -> Pro
 
     # 3. permutation argument
     zpp = compute_permutation_polys(data, trace, betas, gammas)
-    zpp_coeffs = np.asarray(gl.to_u64(_intt_dev()(gl.from_u64(zpp))), dtype=np.uint64)
     zs_pp_o = fo.commit(
-        zpp_coeffs, rate_bits, cap_h, blinding=cfg.zero_knowledge,
-        salt_seed=int(rng.integers(0, 2**63)),
+        zpp, rate_bits, cap_h, blinding=cfg.zero_knowledge,
+        salt_seed=int(rng.integers(0, 2**63)), from_values=True,
     )
     ch.observe_cap(zs_pp_o.cap)
     alphas = ch.challenge_many(cfg.num_challenges)
@@ -243,9 +241,8 @@ def prove(data: CircuitData, pw: PartialWitness, seed: int | None = None) -> Pro
         gl.from_u64(inv_zh_host),
         gl.from_u64(inv_shift_pows),
     )
-    quotient_coeffs = np.asarray(gl.to_u64(t_chunks), dtype=np.uint64)
     quotient_o = fo.commit(
-        quotient_coeffs, rate_bits, cap_h, blinding=cfg.zero_knowledge,
+        t_chunks, rate_bits, cap_h, blinding=cfg.zero_knowledge,
         salt_seed=int(rng.integers(0, 2**63)),
     )
     ch.observe_cap(quotient_o.cap)
@@ -253,22 +250,24 @@ def prove(data: CircuitData, pw: PartialWitness, seed: int | None = None) -> Pro
     g_n = F.primitive_root_of_unity(data.degree_bits)
     zeta_next = ext.scalar_mul(zeta.reshape(1, 2), g_n)[0]
 
-    # 5. openings
-    consts_open = data.constants_oracle.eval_at_ext(zeta)
-    wires_open = wires_o.eval_at_ext(zeta)
-    zpp_open = zs_pp_o.eval_at_ext(zeta)
-    zpp_next_open = zs_pp_o.eval_at_ext(zeta_next)
-    quot_open = quotient_o.eval_at_ext(zeta)
+    # 5. openings — all oracles at zeta (+ Z cols at g*zeta), one device call
     nconst = data.const_cols.shape[0]
     nsel = data.num_selectors
     nz, npp_total = zs_pp_layout(cfg)
+    (consts_open, wires_open, zpp_open, quot_open), zs_next_open = fo.eval_openings(
+        [data.constants_oracle, wires_o, zs_pp_o, quotient_o],
+        zeta,
+        zeta_next,
+        next_oracle=2,
+        next_count=nz,
+    )
     openings = OpeningSet(
         constants=consts_open[:nconst],
         selectors=consts_open[nconst : nconst + nsel],
         sigmas=consts_open[nconst + nsel :],
         wires=wires_open,
         zs=zpp_open[:nz],
-        zs_next=zpp_next_open[:nz],
+        zs_next=zs_next_open,
         pps=zpp_open[nz:],
         quotient=quot_open,
     )

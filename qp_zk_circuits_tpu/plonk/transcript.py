@@ -76,31 +76,71 @@ class Challenger:
         return c
 
 
-def grind_pow(challenger: Challenger, pow_bits: int, batch: int = 4096) -> np.uint64:
+import functools
+
+
+@functools.cache
+def _grind_jit(batch: int, slot: int, pow_bits: int):
+    """Device grind kernel: permute `batch` candidate duplex states (witness
+    w = start + i in wire `slot`), return (found, first index)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..field import goldilocks as gl
+
+    hi_thresh = 1 << (32 - pow_bits) if pow_bits <= 32 else 0
+
+    def run(base_state, start_lo, start_hi):
+        idx = jnp.arange(batch, dtype=jnp.uint32)
+        lo = jnp.broadcast_to(base_state.lo, (batch, ps.WIDTH))
+        hi = jnp.broadcast_to(base_state.hi, (batch, ps.WIDTH))
+        # w = start + i (no lane overflow for batch < 2^32)
+        w_lo = start_lo + idx
+        carry = (w_lo < start_lo).astype(jnp.uint32)
+        w_hi = start_hi + carry
+        lo = lo.at[:, slot].set(w_lo)
+        hi = hi.at[:, slot].set(w_hi)
+        out = ps.permute_j(gl.GF(lo, hi))
+        o_lo, o_hi = out.lo[:, 0], out.hi[:, 0]
+        if pow_bits <= 32:
+            mask = o_hi < jnp.uint32(hi_thresh)
+        else:
+            mask = (o_hi == 0) & (o_lo < jnp.uint32(1 << (64 - pow_bits)))
+        # one fused output -> one host transfer
+        return jnp.stack(
+            [jnp.any(mask).astype(jnp.uint32), jnp.argmax(mask).astype(jnp.uint32)]
+        )
+
+    return jax.jit(run)
+
+
+def grind_pow(challenger: Challenger, pow_bits: int, batch: int = 1 << 17) -> np.uint64:
     """Find a witness w such that observing w yields a challenge with
     >= pow_bits leading zero bits (the reference's 16-bit FRI grind,
-    `wormhole/circuit/src/profile.rs:138-144`). Vectorised host search:
-    duplex candidate states in batches."""
-    # Snapshot the duplex state the witness will be absorbed into.
+    `wormhole/circuit/src/profile.rs:138-144`). The 2^pow_bits-average search
+    runs as ONE batched Poseidon2 sweep on device."""
+    from ..field import goldilocks as gl
+
     base = challenger.fork()
-    # Normalise: absorbing w as one more input then duplexing.
-    threshold = np.uint64(1) << np.uint64(64 - pow_bits)
+    threshold = 1 << (64 - pow_bits)
+    k = len(base.input_buf)
+    state = base.state.copy()
+    state[:k] = np.asarray(base.input_buf, dtype=np.uint64)[:k] if k else state[:k]
+    kernel = _grind_jit(batch, k, pow_bits)
+    jstate = gl.from_u64(state)
     start = 0
     while True:
-        ws = np.arange(start, start + batch, dtype=np.uint64)
-        states = np.tile(base.state, (batch, 1))
-        k = len(base.input_buf)
-        if k:
-            states[:, :k] = np.asarray(base.input_buf, dtype=np.uint64)
-        states[:, k] = ws  # witness goes into the next input slot
-        out = ps.permute_np(states)[:, 0]
-        hits = np.nonzero(out < threshold)[0]
-        for h in hits:
-            w = np.uint64(ws[h])
+        found, idx = np.asarray(
+            kernel(jstate, np.uint32(start & 0xFFFFFFFF), np.uint32(start >> 32))
+        )
+        if bool(found):
+            w = np.uint64(start + int(idx))
             probe = base.fork()
             probe.observe(w)
-            if int(probe.challenge()) < int(threshold):
+            if int(probe.challenge()) < threshold:
                 return w
+            # device/host disagreement would be a bug; fall through and rescan
+            raise AssertionError("PoW grind verification mismatch")
         start += batch
 
 

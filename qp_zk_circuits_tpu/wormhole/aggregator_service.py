@@ -1,0 +1,105 @@
+"""The miner's public-batch aggregation service.
+
+Port of reference `aggregator/src/aggregator.rs`: pins all artifacts at
+construction (never re-reads the bins dir), wraps the proof pool, and hands
+proving workers an OWNED `ProvingContext` clone so proving runs lock-free
+(short-lock snapshot / no-lock prove — `aggregator.rs:23-63`). Verification
+of produced public-batch proofs binds the configured aggregator address
+(`aggregator.rs:224-254`)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import inputs as wi
+from .pool import BatchKey, PoolLimits, ProofPool
+from .public_batch import (
+    BatchCompatibilityError,
+    PublicBatchCircuit,
+    PublicBatchProver,
+)
+
+
+@dataclass
+class ProvingContext:
+    """Owned, lock-free proving state for a worker thread."""
+
+    prover: PublicBatchProver
+    aggregator_address: wi.BytesDigest
+
+    def prove_batch(self, proofs: list, seed: int | None = None):
+        return self.prover.commit(proofs, self.aggregator_address).prove(seed=seed)
+
+
+class PublicBatchAggregator:
+    def __init__(
+        self,
+        public_circuit: PublicBatchCircuit,
+        inner_verify_fn,
+        outer_verify_fn,
+        dummy_private_batch_template,
+        aggregator_address: wi.BytesDigest,
+        limits: PoolLimits | None = None,
+    ):
+        """All verification/proving material pinned here, once; the pool and
+        workers never re-read artifact sources."""
+        self.circuit = public_circuit
+        self.inner_verify = inner_verify_fn
+        self.outer_verify = outer_verify_fn
+        self.aggregator_address = aggregator_address
+        self.dummy_template = dummy_private_batch_template
+        self.pool = ProofPool(
+            verifier_fn=inner_verify_fn,
+            n_leaf=public_circuit.n_leaf,
+            batch_size=public_circuit.m,
+            limits=limits,
+        )
+
+    @classmethod
+    def with_limits(cls, *args, limits: PoolLimits, **kwargs):
+        return cls(*args, limits=limits, **kwargs)
+
+    # -- pool facade ---------------------------------------------------------
+    def push_proof(self, proof) -> BatchKey:
+        return self.pool.push(proof)
+
+    def snapshot_batch(self, key: BatchKey) -> list:
+        return self.pool.snapshot_batch(key)
+
+    def evict_settled(self, nullifiers) -> int:
+        return self.pool.evict_settled(nullifiers)
+
+    def evict_older_than(self, max_age_secs: float) -> int:
+        return self.pool.evict_older_than(max_age_secs)
+
+    def bucket_stats(self):
+        return self.pool.bucket_stats()
+
+    # -- proving -------------------------------------------------------------
+    def proving_context(self) -> ProvingContext:
+        """Owned clone for a lock-free proving worker."""
+        prover = PublicBatchProver(self.circuit, self.inner_verify, self.dummy_template)
+        return ProvingContext(prover=prover, aggregator_address=self.aggregator_address)
+
+    def aggregate(self, key: BatchKey, seed: int | None = None):
+        """Short-lock snapshot, then prove without holding any pool lock."""
+        proofs = self.snapshot_batch(key)
+        if not proofs:
+            raise BatchCompatibilityError("no proofs pooled under this batch key")
+        ctx = self.proving_context()
+        return ctx.prove_batch(proofs, seed=seed)
+
+    def verify(self, proof) -> wi.PublicBatchPublicInputs:
+        """Verify a produced public-batch proof AND bind its aggregator
+        address to the configured one."""
+        self.outer_verify(proof)
+        parsed = wi.PublicBatchPublicInputs.from_felts(
+            proof.public_inputs, self.circuit.m, self.circuit.n_leaf
+        )
+        if parsed.aggregator_address != self.aggregator_address:
+            raise BatchCompatibilityError(
+                "proof is bound to a different aggregator address"
+            )
+        return parsed

@@ -7,7 +7,11 @@ multi-chip sharding tests get 8 virtual CPU devices.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the axon TPU plugin ignores the JAX_PLATFORMS *env var*; only the
+# jax.config API can force CPU. The suite runs against the default device
+# (the real TPU when attached — XLA compiles the big prover graphs far faster
+# there than on this host's CPU). Set QZKT_TEST_CPU=1 to force CPU (used by
+# the sharding tests' subprocess, which needs 8 virtual devices).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -15,6 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+if os.environ.get("QZKT_TEST_CPU") == "1":
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: the Poseidon2/NTT/prover graphs are large and XLA
 # CPU compiles are slow here; cache them across test runs.
