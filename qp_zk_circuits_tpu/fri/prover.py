@@ -283,7 +283,8 @@ def fri_prove(
         axis=-1,
     )
     fpb = config.reduction_strategy.final_poly_bits
-    final_len = min(1 << fpb, coeffs.shape[0])
+    # the honest degree bound after folding (may be below 2^fpb for tiny circuits)
+    final_len = min(1 << fpb, 1 << (degree_bits - sum(schedule)))
     assert not np.any(coeffs[final_len:]), "final poly exceeds degree bound"
     final_poly = coeffs[:final_len]
     challenger.observe_many(final_poly)

@@ -60,8 +60,9 @@ def fri_verify(
         log_m -= a_bits
 
     fpb = config.reduction_strategy.final_poly_bits
-    if proof.final_poly.shape[0] > (1 << fpb):
-        _fail("final polynomial too long")
+    expected_final = min(1 << fpb, 1 << (degree_bits - sum(schedule)))
+    if proof.final_poly.shape[0] != expected_final:
+        _fail("final polynomial has the wrong length")
     challenger.observe_many(proof.final_poly)
 
     if not ts.check_pow(challenger, proof.pow_witness, config.proof_of_work_bits):

@@ -326,6 +326,10 @@ class CircuitBuilder:
     def permute(self, inputs: list[int]) -> list[int]:
         """One Poseidon2 permutation row; returns 12 output targets."""
         assert len(inputs) == 12
+        assert self.config.num_wires >= Poseidon2Gate.NUM_WIRES, (
+            f"Poseidon2 gate needs {Poseidon2Gate.NUM_WIRES} wire columns; "
+            f"config has {self.config.num_wires}"
+        )
         row = self.add_gate(Poseidon2Gate(), ())
         for i, t in enumerate(inputs):
             self.connect(self.wire_target(row, Poseidon2Gate.W_IN + i), t)

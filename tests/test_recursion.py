@@ -32,7 +32,7 @@ TEST_FRI = FriConfig(
     num_query_rounds=10,
     reduction_strategy=FriReductionStrategy(4, 5),
 )
-INNER = CircuitConfig(num_wires=16, num_routed_wires=16, num_challenges=2, fri_config=TEST_FRI)
+INNER = CircuitConfig(num_wires=135, num_routed_wires=80, num_challenges=2, fri_config=TEST_FRI)
 OUTER = CircuitConfig(num_wires=135, num_routed_wires=80, num_challenges=2, fri_config=TEST_FRI)
 
 
