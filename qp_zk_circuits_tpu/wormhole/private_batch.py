@@ -161,7 +161,13 @@ def build_private_batch_constraints(
 class PrivateBatchCircuit:
     """Verify N leaf proofs recursively + the wrapper constraints."""
 
-    def __init__(self, leaf_common: VerifierCircuitData, n_leaf: int, config=None):
+    def __init__(
+        self,
+        leaf_common: VerifierCircuitData,
+        n_leaf: int,
+        config=None,
+        enforce_security_floor: bool = True,
+    ):
         config = config or wormhole_private_batch_circuit_config()
         validate_circuit_config(config)
         wi.validate_proof_count(n_leaf, "num_leaf_proofs")
@@ -170,7 +176,10 @@ class PrivateBatchCircuit:
                 f"leaf proofs must expose {LEAF_PI_LEN} public inputs, got "
                 f"{leaf_common.num_public_inputs}"
             )
-        if leaf_common.config.total_security_bits() < wi.MIN_LEAF_SECURITY_BITS:
+        if (
+            enforce_security_floor
+            and leaf_common.config.total_security_bits() < wi.MIN_LEAF_SECURITY_BITS
+        ):
             raise ValueError("leaf security below the canonical floor")
         self.n_leaf = n_leaf
         self.leaf_common = leaf_common
@@ -270,3 +279,20 @@ class PrivateBatchProver:
 
     def aggregate(self, proofs: list, seed: int | None = None, rng=None):
         return self.commit(proofs, rng=rng).prove(seed=seed)
+
+
+def generate_dummy_private_batch_proof(
+    circuit: PrivateBatchCircuit, dummy_leaf_template, rng=None, seed: int | None = None
+):
+    """Trusted-builder path: prove the ALL-DUMMY private batch (the padding
+    template for the public layer — reference `private_batch/circuit/build.rs`:
+    proves all-dummy batch -> dummy_private_batch_proof.bin). Bypasses the
+    not-all-dummy admission rule deliberately."""
+    rng = rng or np.random.default_rng(seed)
+    pw = PartialWitness()
+    for pt in circuit.proof_targets:
+        fill_proof_targets(pw, pt, dummy_leaf_template)
+    for pre_t in circuit.dummy_preimages:
+        pre = generate_random_nullifier_preimage(rng)
+        pw.set_many(pre_t, np.frombuffer(pre, dtype="<u8").astype(np.uint64))
+    return plonk_prove(circuit.data, pw, seed=seed)

@@ -15,14 +15,15 @@ from . import inputs as wi
 
 
 class WormholeVerifier:
-    def __init__(self, data):
+    def __init__(self, data, enforce_security_floor: bool = True):
         """`data` is the leaf CircuitData (or a compatible verifier view)."""
         self.data = data
+        self._enforce_floor = enforce_security_floor
         self._check_profile()
 
     def _check_profile(self):
         cfg = self.data.config
-        if cfg.total_security_bits() < wi.MIN_LEAF_SECURITY_BITS:
+        if self._enforce_floor and cfg.total_security_bits() < wi.MIN_LEAF_SECURITY_BITS:
             raise VerificationError(
                 f"leaf config security {cfg.total_security_bits()} below floor "
                 f"{wi.MIN_LEAF_SECURITY_BITS}"
