@@ -39,11 +39,28 @@ def from_base(c0) -> np.ndarray:
     return np.stack([c0, np.zeros_like(c0)], axis=-1)
 
 
+_P_INT = 0xFFFFFFFF00000001
+
+
+def _is_scalar_pair(a) -> bool:
+    return isinstance(a, np.ndarray) and a.shape == (2,)
+
+
 def add(a, b):
+    if _is_scalar_pair(a) and _is_scalar_pair(b):
+        return np.array(
+            [(int(a[0]) + int(b[0])) % _P_INT, (int(a[1]) + int(b[1])) % _P_INT],
+            dtype=np.uint64,
+        )
     return np.stack([F.add(a[..., 0], b[..., 0]), F.add(a[..., 1], b[..., 1])], axis=-1)
 
 
 def sub(a, b):
+    if _is_scalar_pair(a) and _is_scalar_pair(b):
+        return np.array(
+            [(int(a[0]) - int(b[0])) % _P_INT, (int(a[1]) - int(b[1])) % _P_INT],
+            dtype=np.uint64,
+        )
     return np.stack([F.sub(a[..., 0], b[..., 0]), F.sub(a[..., 1], b[..., 1])], axis=-1)
 
 
@@ -52,6 +69,12 @@ def neg(a):
 
 
 def mul(a, b):
+    if _is_scalar_pair(a) and _is_scalar_pair(b):
+        a0, a1, b0, b1 = int(a[0]), int(a[1]), int(b[0]), int(b[1])
+        return np.array(
+            [(a0 * b0 + W * a1 * b1) % _P_INT, (a0 * b1 + a1 * b0) % _P_INT],
+            dtype=np.uint64,
+        )
     a0, a1 = a[..., 0], a[..., 1]
     b0, b1 = b[..., 0], b[..., 1]
     c0 = F.add(F.mul(a0, b0), F.mul(np.uint64(W), F.mul(a1, b1)))
@@ -61,6 +84,11 @@ def mul(a, b):
 
 def scalar_mul(a, s):
     """Multiply extension element(s) by base-field scalar(s)."""
+    if _is_scalar_pair(a) and np.ndim(s) == 0:
+        si = int(s)
+        return np.array(
+            [int(a[0]) * si % _P_INT, int(a[1]) * si % _P_INT], dtype=np.uint64
+        )
     s = np.asarray(s, dtype=np.uint64)
     return np.stack([F.mul(a[..., 0], s), F.mul(a[..., 1], s)], axis=-1)
 
@@ -71,6 +99,10 @@ def sqr(a):
 
 def inv(a):
     """(a0 + a1 X)^-1 = (a0 - a1 X) / (a0^2 - W a1^2)."""
+    if _is_scalar_pair(a):
+        a0, a1 = int(a[0]), int(a[1])
+        ninv = pow((a0 * a0 - W * a1 * a1) % _P_INT, _P_INT - 2, _P_INT)
+        return np.array([a0 * ninv % _P_INT, (-a1) * ninv % _P_INT], dtype=np.uint64)
     a0, a1 = a[..., 0], a[..., 1]
     norm = F.sub(F.mul(a0, a0), F.mul(np.uint64(W), F.mul(a1, a1)))
     ninv = F.inv(norm)
