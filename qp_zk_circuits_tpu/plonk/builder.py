@@ -473,6 +473,34 @@ class CircuitBuilder:
         print(f"  total: {len(self.rows)} rows")
 
 
+def compute_circuit_digest(cap, config, degree_bits, gate_keys, num_selectors,
+                           num_const_cols, num_public_inputs) -> np.ndarray:
+    """Fiat-Shamir circuit digest binding the FULL verifier identity.
+
+    Covers the constants cap AND every field that changes which constraints
+    are evaluated: the config knob set, degree_bits, the ordered gate-type
+    keys, the column layout and the PI count — so a tampered serialized
+    verifier-data artifact can never pass the digest check while altering
+    verification semantics (ADVICE r1 medium; the reference pins artifacts by
+    keccak over full bytes, `wormhole/verifier/src/lib.rs:101-112`)."""
+    fc = config.fri_config
+    felts = list(np.asarray(cap, dtype=np.uint64).ravel())
+    felts += [
+        config.num_wires, config.num_routed_wires, config.num_challenges,
+        config.security_bits, config.max_quotient_degree_factor,
+        int(config.zero_knowledge), fc.rate_bits, fc.cap_height,
+        fc.proof_of_work_bits, fc.num_query_rounds,
+        fc.reduction_strategy.arity_bits, fc.reduction_strategy.final_poly_bits,
+        degree_bits, num_selectors, num_const_cols, num_public_inputs,
+        len(gate_keys),
+    ]
+    for key in gate_keys:
+        kb = key.encode()
+        felts.append(len(kb))
+        felts.extend(kb)
+    return ps.hash_no_pad(np.array(felts, dtype=np.uint64))
+
+
 @dataclass
 class CircuitData:
     """Preprocessed circuit: constants/selectors/sigmas + commitment."""
@@ -512,8 +540,14 @@ class CircuitData:
             blinding=False,
             from_values=True,
         )
-        self.circuit_digest = ps.hash_no_pad(
-            np.asarray(self.constants_oracle.cap, dtype=np.uint64).ravel()
+        self.circuit_digest = compute_circuit_digest(
+            self.constants_oracle.cap,
+            self.config,
+            self.degree_bits,
+            [g.key() for g in self.gate_types],
+            self.num_selectors,
+            self.const_cols.shape[0],
+            len(self.public_input_targets),
         )
 
     # column layout inside the constants oracle

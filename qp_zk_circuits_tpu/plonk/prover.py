@@ -84,6 +84,13 @@ def _colprod(a: np.ndarray) -> np.ndarray:
 def _quotient_fn(data: CircuitData):
     """Build (once per circuit) the jitted quotient evaluator."""
     import jax
+
+    return jax.jit(quotient_run(data))
+
+
+def quotient_run(data: CircuitData):
+    """Traceable quotient-evaluation body (shared with the fused prover)."""
+    import jax
     import jax.numpy as jnp
 
     cfg = data.config
@@ -127,7 +134,12 @@ def _quotient_fn(data: CircuitData):
             GF(jnp.broadcast_to(kvec.lo[:, None], (nr, m)), jnp.broadcast_to(kvec.hi[:, None], (nr, m))),
             _brow(xs, (nr, m)),
         )
-        nchunks = nr // qdf
+        # ceil-divide: the final permutation chunk may be ragged (e.g. the
+        # canonical ZK profile routed=60, qdf=8 — reference
+        # common/src/circuit.rs:396-410); pad factors with multiplicative
+        # ones so the segment products match host permutation_chunks().
+        nchunks = -(-nr // qdf)
+        pad = nchunks * qdf - nr
         for c in range(nc):
             beta = _b(alphas_like(alphas, betas, c), (nr, m))
             gamma = _b(alphas_like(alphas, gammas, c), (nr, m))
@@ -135,6 +147,10 @@ def _quotient_fn(data: CircuitData):
             z_next = GF(jnp.roll(z.lo, -rate, axis=0), jnp.roll(z.hi, -rate, axis=0))
             num = gl.add(gl.add(routed, gl.mul(beta, ids)), gamma)
             den = gl.add(gl.add(routed, gl.mul(beta, sigma)), gamma)
+            if pad:
+                ones_pad = gl.ones((pad, m))
+                num = gl.concat([num, ones_pad], axis=0)
+                den = gl.concat([den, ones_pad], axis=0)
             cn = _segment_prod(num.reshape(nchunks, qdf, m))  # (nchunks, m)
             cd = _segment_prod(den.reshape(nchunks, qdf, m))
             pp_rows = [zs_pp_lde[nc + c * npp + j] for j in range(npp)]
@@ -179,10 +195,24 @@ def _quotient_fn(data: CircuitData):
             a = gl.mul(a[:, :half], a[:, half : 2 * half])
         return GF(a.lo[:, 0], a.hi[:, 0])
 
-    return jax.jit(run)
+    return run
 
 
 def prove(data: CircuitData, pw: PartialWitness, seed: int | None = None) -> Proof:
+    """Prove. Default path is the fully-fused single-graph device prover
+    (`prover_fused.prove_fused`, one device->host transfer per proof); set
+    QZKT_STAGED_PROVER=1 to fall back to the staged multi-dispatch pipeline
+    below (bit-identical output, kept as the differential oracle)."""
+    import os
+
+    if not os.environ.get("QZKT_STAGED_PROVER"):
+        from .prover_fused import prove_fused
+
+        return prove_fused(data, pw, seed)
+    return prove_staged(data, pw, seed)
+
+
+def prove_staged(data: CircuitData, pw: PartialWitness, seed: int | None = None) -> Proof:
     cfg = data.config
     n = data.n
     rate_bits = cfg.rate_bits

@@ -277,12 +277,17 @@ class VerifierCircuitData:
             raise SerializationError("malformed constants cap")
         if digest.shape != (4,):
             raise SerializationError("malformed circuit digest")
-        # the digest IS H(cap): recompute so a tampered cap (or digest) can
-        # never produce a consistent verifier key
-        from ..hash import poseidon2 as ps
+        # the digest binds the FULL verifier identity (cap, config, gate set,
+        # layout, PI count): recompute so a tampered artifact can never pass
+        # while changing which constraints get evaluated
+        from .builder import compute_circuit_digest
 
-        if not np.array_equal(ps.hash_no_pad(cap.ravel()), digest):
-            raise SerializationError("circuit digest does not match constants cap")
+        expect = compute_circuit_digest(
+            cap, cfg, degree_bits, [g.key() for g in gates],
+            num_selectors, num_const_cols, num_pis,
+        )
+        if not np.array_equal(expect, digest):
+            raise SerializationError("circuit digest does not match verifier data")
         return cls(cfg, degree_bits, gates, num_selectors, num_const_cols, cap, digest, num_pis)
 
 

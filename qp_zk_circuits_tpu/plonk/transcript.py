@@ -121,6 +121,12 @@ def grind_pow(challenger: Challenger, pow_bits: int, batch: int = 1 << 17) -> np
     runs as ONE batched Poseidon2 sweep on device."""
     from ..field import goldilocks as gl
 
+    if not 0 <= pow_bits <= 32:
+        raise ValueError(f"pow_bits out of range: {pow_bits}")
+    if pow_bits == 0:
+        # every witness passes; the device kernel's uint32 threshold would
+        # overflow, so answer directly (and deterministically) with 0
+        return np.uint64(0)
     base = challenger.fork()
     threshold = 1 << (64 - pow_bits)
     k = len(base.input_buf)
@@ -139,7 +145,8 @@ def grind_pow(challenger: Challenger, pow_bits: int, batch: int = 1 << 17) -> np
             probe.observe(w)
             if int(probe.challenge()) < threshold:
                 return w
-            # device/host disagreement would be a bug; fall through and rescan
+            # the device and host Poseidon2 are pinned bit-identical, so a
+            # mismatch here is a real bug — fail loudly, never mask it
             raise AssertionError("PoW grind verification mismatch")
         start += batch
 

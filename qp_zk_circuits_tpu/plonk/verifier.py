@@ -23,9 +23,86 @@ class VerificationError(Exception):
     pass
 
 
+def check_proof_shape(data: CircuitData, proof: Proof) -> None:
+    """Full structural preflight of a (possibly deserialized) proof BEFORE any
+    transcript observation or Merkle walk: cap shapes, FRI round counts,
+    initial-row widths, sibling path lengths and step leaf shapes.
+
+    Mirrors the reference's `ensure_proof_shape_matches_targets` walk
+    (`wormhole/aggregator/src/common/utils.rs:333-540`) so malformed proofs
+    fail fast with VerificationError instead of raw index errors mid-verify
+    (ADVICE r1 low)."""
+    from ..fri.config import SALT_SIZE
+
+    cfg = data.config
+    fcfg = cfg.fri_config
+    cap_shape = (1 << fcfg.cap_height, 4)
+    for name, cap in (
+        ("wires", proof.wires_cap),
+        ("zs_pp", proof.zs_pp_cap),
+        ("quotient", proof.quotient_cap),
+    ):
+        if np.asarray(cap).shape != cap_shape:
+            raise VerificationError(f"malformed {name} cap shape")
+
+    nz, npp_total = zs_pp_layout(cfg)
+    lde_bits = data.degree_bits + fcfg.rate_bits
+    salt = SALT_SIZE if cfg.zero_knowledge else 0
+    widths = [
+        data.num_preprocessed,
+        cfg.num_wires + salt,
+        nz + npp_total + salt,
+        cfg.num_challenges * cfg.max_quotient_degree_factor + salt,
+    ]
+    init_sib_len = lde_bits - fcfg.cap_height
+
+    schedule = fcfg.reduction_strategy.schedule(data.degree_bits)
+    fp = proof.fri_proof
+    if len(fp.commit_caps) != len(schedule):
+        raise VerificationError("wrong number of FRI commit caps")
+    # per-layer expected shapes
+    step_shapes = []
+    log_m = lde_bits
+    for a_bits in schedule:
+        mp_bits = log_m - a_bits
+        l_cap = min(fcfg.cap_height, mp_bits)
+        step_shapes.append(((1 << a_bits, 2), mp_bits - l_cap, (1 << l_cap, 4)))
+        log_m = mp_bits
+    for li, (_, _, cap_sh) in enumerate(step_shapes):
+        if np.asarray(fp.commit_caps[li]).shape != cap_sh:
+            raise VerificationError(f"malformed FRI cap shape at layer {li}")
+
+    final_len = min(
+        1 << fcfg.reduction_strategy.final_poly_bits,
+        1 << (data.degree_bits - sum(schedule)),
+    )
+    if np.asarray(fp.final_poly).shape != (final_len, 2):
+        raise VerificationError("malformed FRI final polynomial shape")
+
+    if len(fp.query_rounds) != fcfg.num_query_rounds:
+        raise VerificationError("wrong number of FRI query rounds")
+    for qr in fp.query_rounds:
+        if len(qr.initial_rows) != 4 or len(qr.initial_siblings) != 4:
+            raise VerificationError("wrong oracle count in FRI query round")
+        for oi, (row, sibs) in enumerate(zip(qr.initial_rows, qr.initial_siblings)):
+            if np.asarray(row).shape != (widths[oi],):
+                raise VerificationError(f"malformed initial row width (oracle {oi})")
+            if np.asarray(sibs).shape != (init_sib_len, 4):
+                raise VerificationError(f"malformed initial sibling path (oracle {oi})")
+        if len(qr.steps) != len(schedule):
+            raise VerificationError("wrong number of FRI query steps")
+        for li, st in enumerate(qr.steps):
+            leaf_sh, sib_len, _ = step_shapes[li]
+            if np.asarray(st.leaf_values).shape != leaf_sh:
+                raise VerificationError(f"malformed step leaf shape at layer {li}")
+            if np.asarray(st.siblings).shape != (sib_len, 4):
+                raise VerificationError(f"malformed step sibling path at layer {li}")
+
+
 def verify(data: CircuitData, proof: Proof) -> None:
     """Raises VerificationError if the proof is invalid."""
     cfg = data.config
+    check_proof_shape(data, proof)
     pi_hash = ps.hash_no_pad(np.asarray(proof.public_inputs, dtype=np.uint64))
 
     ch = ts.Challenger()

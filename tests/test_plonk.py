@@ -37,6 +37,12 @@ WIDE_ZK = CircuitConfig(
     zero_knowledge=True,
     fri_config=TEST_FRI,
 )
+# Canonical-profile wire shape (135/60): routed is NOT divisible by qdf=8, so
+# the final permutation chunk is ragged (ADVICE r1 high; reference ZK profile
+# common/src/circuit.rs:396-410).
+WIDE_60 = CircuitConfig(
+    num_wires=135, num_routed_wires=60, num_challenges=2, fri_config=TEST_FRI
+)
 
 
 @pytest.fixture(scope="module")
@@ -74,6 +80,32 @@ def pi_proof():
     pw.set_target(y, 456)
     proof = prove(data, pw, seed=2)
     return data, proof
+
+
+class TestRaggedRoutedWires:
+    def test_routed60_prove_verify(self):
+        """Prove/verify at the canonical 135/60 wire shape: exercises the
+        ragged final permutation chunk (60 = 7*8 + 4) in the device quotient
+        kernel, the host permutation polys, and the shared eval_constraints."""
+        b = CircuitBuilder(WIDE_60)
+        x = b.add_virtual_target()
+        y = b.add_virtual_target()
+        z = b.mul(x, y)
+        b.register_public_inputs([x, y, z])
+        b.range_check(x, 32)
+        data = b.build()
+        pw = PartialWitness()
+        pw.set_target(x, 77)
+        pw.set_target(y, 88)
+        proof = prove(data, pw, seed=3)
+        verify(data, proof)
+        import copy
+
+        bad = copy.deepcopy(proof)
+        bad.openings.wires = bad.openings.wires.copy()
+        bad.openings.wires[0, 0] = F.add(bad.openings.wires[0, 0], np.uint64(1))
+        with pytest.raises(VerificationError):
+            verify(data, bad)
 
 
 class TestSmallCircuit:

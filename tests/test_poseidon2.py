@@ -83,6 +83,34 @@ class TestPermutation:
         assert np.array_equal(frozen, again)
         assert not np.array_equal(frozen, np.zeros(4, dtype=np.uint64))
 
+    def test_published_instance_pins(self):
+        """Known-answer pins for the published Poseidon2 Goldilocks t=12
+        instance (HorizenLabs tables, VERDICT r1 item 2): the Grain-LFSR
+        derivation must reproduce the published external-constant head, the
+        internal diagonal must be the published MAT_DIAG12_M_1, and frozen
+        digests lock the full permutation."""
+        ext = ps.external_round_constants()
+        assert int(ext[0][0]) == 0x13DCF33ABA214F46  # published RC12 head
+        assert [int(v) for v in ps.internal_diag()] == [
+            0xC3B6C08E23BA9300, 0xD84B5DE94A324FB6, 0x0D0C371C5B35B84F,
+            0x7964F570E7188037, 0x5DAF18BBD996604B, 0x6743BC47B9595257,
+            0x5528B9362C59BB70, 0xAC45E25B7127B68B, 0xA2077D7DFBB606B5,
+            0xF3FAAC6FAEE378AE, 0x0C6388B51545E883, 0xD27DBB6944917B60,
+        ]
+        # Frozen KATs for this instance (regenerate ONLY on a constants swap).
+        z = ps.permute_np(np.zeros(12, dtype=np.uint64))
+        assert [int(v) for v in z] == [
+            0x7315F746536F5085, 0x7EE94CDFE16C5597, 0x8373CDEAD56208D9,
+            0xBC6181B321506C57, 0x623A5D1FBF93D184, 0x993D9E22E95BE753,
+            0x39BCED9D7A22A6F7, 0x21D8B250C32DDC93, 0x6FD552D761FDEA16,
+            0x4E6BC4262CED27B8, 0x3601F3EB37D4CE60, 0xD41BFF6F8B5664BC,
+        ]
+        d = ps.hash_no_pad(np.arange(8, dtype=np.uint64))
+        assert [int(v) for v in d] == [
+            0xF3F6401D6EEE907C, 0x4F06591DEA08D1F5,
+            0x6DC5FF5AB495D3D7, 0x858FB59F2524D0C2,
+        ]
+
     def test_constants_well_formed(self):
         ext = ps.external_round_constants()
         internal = ps.internal_round_constants()
