@@ -436,6 +436,23 @@ class Poseidon2Gate(Gate):
         )
 
     def fill_row(self, get, set_):
+        nat = ps._native()
+        if nat is not None:
+            import numpy as np
+
+            ins = np.array([int(get(self.W_IN + i)) for i in range(12)], dtype=np.uint64)
+            ext_a, inter, ext_b, out = nat.permute_trace_batch(ins)
+            for r in range(4):
+                for i in range(12):
+                    set_(self.W_EXT_A + 12 * r + i, int(ext_a[0, r, i]))
+            for k in range(22):
+                set_(self.W_INT + k, int(inter[0, k]))
+            for r in range(3):
+                for i in range(12):
+                    set_(self.W_EXT_B + 12 * r + i, int(ext_b[0, r, i]))
+            for i in range(12):
+                set_(self.W_OUT + i, int(out[0, i]))
+            return
         # scalar Python-int path (the numpy tiny-state path costs ~16 ms/row)
         ext_rcs, int_rcs, diag = ps._int_constants()
         P = P_INT

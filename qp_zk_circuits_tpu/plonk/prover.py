@@ -212,6 +212,23 @@ def prove(data: CircuitData, pw: PartialWitness, seed: int | None = None) -> Pro
     return prove_staged(data, pw, seed)
 
 
+def prove_batch(data: CircuitData, pws: list, seed: int | None = None) -> list:
+    """Prove K independent witnesses of the same circuit in ONE device
+    round-trip (vmapped fused graph — the TPU mapping of the reference's
+    embarrassingly-parallel batch proving, SURVEY §2.3). Falls back to
+    sequential staged proving under QZKT_STAGED_PROVER=1."""
+    import os
+
+    if not os.environ.get("QZKT_STAGED_PROVER"):
+        from .prover_fused import prove_fused_batch
+
+        return prove_fused_batch(data, pws, seed)
+    rng = np.random.default_rng(seed)
+    return [
+        prove_staged(data, pw, seed=int(rng.integers(0, 2**63))) for pw in pws
+    ]
+
+
 def prove_staged(data: CircuitData, pw: PartialWitness, seed: int | None = None) -> Proof:
     cfg = data.config
     n = data.n

@@ -574,7 +574,13 @@ def _build_fused(data: CircuitData):
         ch.observe_many(_interleave_ext(final_poly))
 
         # PoW grind
-        pow_w = _grind_j(ch, fcfg.proof_of_work_bits)
+        # sweep size ~16x the expected try count: one sweep usually suffices,
+        # and small PoW budgets (tests, CPU dryruns) stay cheap
+        pow_w = _grind_j(
+            ch,
+            fcfg.proof_of_work_bits,
+            batch=1 << min(17, fcfg.proof_of_work_bits + 4),
+        )
         pk.add("pow_witness", GF(pow_w.lo.reshape(1), pow_w.hi.reshape(1)))
         ch.observe(pow_w)
         ch.challenge()  # pow response consumed (verified host-side)
@@ -653,22 +659,11 @@ def _interleave_ext(arr: GF2) -> GF:
 # host entry
 
 
-def prove_fused(data: CircuitData, pw: PartialWitness, seed: int | None = None) -> Proof:
-    cfg = data.config
-    assert cfg.max_quotient_degree_factor == (1 << cfg.rate_bits), (
-        "quotient evaluation reuses the rate-blowup LDE domain; qdf must equal 2^rate_bits"
-    )
-    rng = np.random.default_rng(seed)
-
+def _flat_input(data: CircuitData, pw: PartialWitness, rng, meta) -> tuple:
+    """Host side of one proof: witness trace + PI hash + salts, flattened in
+    the order the fused graph unpacks them. Returns (flat_u64, public_inputs)."""
     trace, pis = generate_witness(data, pw, rng)
     pi_hash = ps.hash_no_pad(pis)
-
-    cache = data.__dict__.get("_fused")
-    if cache is None:
-        cache = _build_fused(data)
-        data.__dict__["_fused"] = cache
-    fused_jit, layout, bundle, meta = cache
-
     parts = [np.asarray(trace, dtype=np.uint64).ravel(), np.asarray(pi_hash)]
     if meta["n_salt"]:
         # same salt-draw order as the staged prover: one seeded stream per
@@ -676,10 +671,12 @@ def prove_fused(data: CircuitData, pw: PartialWitness, seed: int | None = None) 
         for _ in range(3):
             salt_rng = np.random.default_rng(int(rng.integers(0, 2**63)))
             parts.append(F.rand_felts((meta["m"], meta["n_salt"]), salt_rng).ravel())
-    flat_in = np.concatenate(parts)
+    return np.concatenate(parts), pis
 
-    out_dev = fused_jit(gl.from_u64(flat_in), bundle)
-    flat_out = gl.to_u64(out_dev)  # exactly ONE device->host transfer
+
+def _unpack_proof(data: CircuitData, flat_out: np.ndarray, layout, meta, pis) -> Proof:
+    """Rebuild a Proof from one packed output vector (pure numpy reshapes)."""
+    cfg = data.config
     u = _Unpacker(flat_out, layout)
 
     nc = cfg.num_challenges
@@ -739,3 +736,72 @@ def prove_fused(data: CircuitData, pw: PartialWitness, seed: int | None = None) 
         fri_proof=fri_proof,
         public_inputs=pis,
     )
+
+
+def prove_fused_batch(
+    data: CircuitData, pws: list, seed: int | None = None
+) -> list:
+    """Batched fused prover: K independent proofs of the SAME circuit in one
+    device round-trip.
+
+    This is the TPU-native replacement for the reference's embarrassingly-
+    parallel leaf proving (SURVEY §2.3: N≤64 independent leaf proofs proven
+    concurrently by deployment) — the whole fused pipeline is `jax.vmap`'d
+    over the proof axis, so the MXU sees K-wide batched NTTs/hashes and the
+    host pays ONE tunnel round-trip for the entire batch instead of one per
+    proof. The per-proof transcript schedules are independent (vmap of the
+    PoW `while_loop` masks finished lanes' carries, so each lane keeps its
+    own lowest-index witness)."""
+    import jax
+
+    cfg = data.config
+    assert cfg.max_quotient_degree_factor == (1 << cfg.rate_bits), (
+        "quotient evaluation reuses the rate-blowup LDE domain; qdf must equal 2^rate_bits"
+    )
+    rng = np.random.default_rng(seed)
+
+    cache = data.__dict__.get("_fused")
+    if cache is None:
+        cache = _build_fused(data)
+        data.__dict__["_fused"] = cache
+    fused_jit, layout, bundle, meta = cache
+
+    flats, pis_list = [], []
+    for pw in pws:
+        flat, pis = _flat_input(data, pw, rng, meta)
+        flats.append(flat)
+        pis_list.append(pis)
+    flat_in = np.stack(flats)  # (K, in_len)
+
+    batch_cache = data.__dict__.setdefault("_fused_batch", {})
+    k = len(pws)
+    vfused = batch_cache.get(k)
+    if vfused is None:
+        vfused = jax.jit(jax.vmap(fused_jit, in_axes=(0, None)))
+        batch_cache[k] = vfused
+
+    out_dev = vfused(gl.from_u64(flat_in), bundle)
+    flat_out = gl.to_u64(out_dev)  # ONE device->host transfer for K proofs
+    return [
+        _unpack_proof(data, flat_out[i], layout, meta, pis_list[i])
+        for i in range(k)
+    ]
+
+
+def prove_fused(data: CircuitData, pw: PartialWitness, seed: int | None = None) -> Proof:
+    cfg = data.config
+    assert cfg.max_quotient_degree_factor == (1 << cfg.rate_bits), (
+        "quotient evaluation reuses the rate-blowup LDE domain; qdf must equal 2^rate_bits"
+    )
+    rng = np.random.default_rng(seed)
+
+    cache = data.__dict__.get("_fused")
+    if cache is None:
+        cache = _build_fused(data)
+        data.__dict__["_fused"] = cache
+    fused_jit, layout, bundle, meta = cache
+
+    flat_in, pis = _flat_input(data, pw, rng, meta)
+    out_dev = fused_jit(gl.from_u64(flat_in), bundle)
+    flat_out = gl.to_u64(out_dev)  # exactly ONE device->host transfer
+    return _unpack_proof(data, flat_out, layout, meta, pis)

@@ -165,3 +165,96 @@ def coset_lde_j(coeffs: GF, rate_bits: int, shift: int | None = None) -> GF:
     pad = [(0, 0)] * (coeffs.lo.ndim - 1) + [(0, big_n - n)]
     padded = GF(jnp.pad(scaled.lo, pad), jnp.pad(scaled.hi, pad))
     return ntt_j(padded)
+
+
+# ---------------------------------------------------------------------------
+# by-coefficient SHARDED NTT (one polynomial too large for a chip)
+#
+# Four-step (transpose) decomposition N = D * L over D devices, with the
+# coefficient axis sharded in contiguous blocks of L = N/D:
+#
+#   X[L*k1 + k2] = sum_{n1<D} w_D^{n1*k1} * w_N^{n1*k2}
+#                    * [ sum_{n2<L} w_L^{n2*k2} * x[D*n2 + n1] ]
+#
+# Per device: block->cyclic all-to-all, local length-L NTT, twiddle by the
+# device's w_N^{p*k2} row, transpose all-to-all, local length-D NTT across the
+# received slab, and a final all-to-all back to contiguous blocks. This is
+# the "butterfly all-to-all over ICI" shape of SURVEY §2.3/§5.8 — all
+# communication is jax.lax.all_to_all, which XLA lowers to ICI collectives.
+
+
+def sharded_twiddles(n: int, n_dev: int, inverse: bool) -> np.ndarray:
+    """(D, L) table T[p, k2] = w_N^{±p*k2} — passed sharded by rows so each
+    device reads exactly its own twiddle row."""
+    w = F.primitive_root_of_unity(n.bit_length() - 1)
+    if inverse:
+        w = F.inv(w)
+    l = n // n_dev
+    rows = [F.powers(F.pow_scalar(w, p), l) for p in range(n_dev)]
+    return np.stack(rows)
+
+
+def _ntt_shard_body(x: GF, tw_row: GF, axis: str, n_dev: int, inverse: bool) -> GF:
+    """Per-device body (runs under shard_map). x: (L,) local block."""
+    import jax
+    from jax import lax
+
+    l = x.shape[-1]
+    ld = l // n_dev
+
+    def a2a(arr: GF, split_axis: int, concat_axis: int) -> GF:
+        return GF(
+            lax.all_to_all(arr.lo, axis, split_axis, concat_axis, tiled=True),
+            lax.all_to_all(arr.hi, axis, split_axis, concat_axis, tiled=True),
+        )
+
+    # block -> cyclic: x_local[q*D + r] belongs to residue-class device r
+    xr = x.reshape((ld, n_dev))
+    xr = GF(xr.lo.T, xr.hi.T)  # (D, L/D), axis 0 = destination residue
+    xc = a2a(xr, 0, 0).reshape((l,))  # now holds x[D*n2 + p] over n2
+
+    # local length-L NTT over n2, then the device's w_N^{p*k2} twiddle row
+    y = ntt_j(xc, inverse=inverse)
+    y = gl.mul(y, tw_row)
+
+    # transpose: k2-slabs out, n1-rows in
+    ys = y.reshape((n_dev, ld))  # axis 0 = k2 slab = destination
+    z = a2a(ys, 0, 0)  # (D, L/D): [n1, t] for my k2 = p*(L/D)+t
+    z = GF(z.lo.T, z.hi.T)  # (L/D, D)
+    z = ntt_j(z, inverse=inverse)  # local length-D NTT over n1 -> [t, k1]
+
+    # k1 indexes the owner of the contiguous output block
+    out = a2a(z, 1, 1)  # (L/D, D): [t, p_src]
+    out = GF(out.lo.T, out.hi.T)  # (D, L/D): k2 = p_src*(L/D) + t
+    return out.reshape((l,))
+
+
+def ntt_sharded(values: GF, mesh, axis: str = "cols", inverse: bool = False) -> GF:
+    """Radix-2 NTT of ONE polynomial sharded by coefficient over `mesh[axis]`.
+
+    values: GF (N,) laid out in contiguous blocks of N/D per device. Returns
+    natural-order evaluations with the same block layout. Bit-identical to
+    `ntt_j` (pinned in tests/test_sharding.py). Requires D | N/D."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    n = values.shape[-1]
+    n_dev = mesh.shape[axis]
+    assert (n // n_dev) % n_dev == 0, "need D | N/D for the transpose algorithm"
+    tw = gl.from_u64(sharded_twiddles(n, n_dev, inverse))
+
+    import functools
+
+    body = functools.partial(
+        _ntt_shard_body, axis=axis, n_dev=n_dev, inverse=inverse
+    )
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis, None)),
+        out_specs=P(axis),
+    )
+    # NOTE: no extra 1/N here — the inverse sub-NTTs already scale by
+    # 1/L and 1/D, which compose to exactly 1/N.
+    return fn(values, tw)

@@ -61,6 +61,58 @@ class PublicBatchAggregator:
     def with_limits(cls, *args, limits: PoolLimits, **kwargs):
         return cls(*args, limits=limits, **kwargs)
 
+    @classmethod
+    def from_binaries_dir(
+        cls,
+        bins_dir,
+        aggregator_address: wi.BytesDigest,
+        limits: PoolLimits | None = None,
+        config=None,
+        private_batch_rebuild=None,
+        leaf_rebuild=None,
+        enforce_security_floor: bool = True,
+    ) -> "PublicBatchAggregator":
+        """Construct the miner service from a published artifact set
+        (reference `aggregator.rs:262-316`): every artifact is read + pinned
+        HERE, once — the pool and proving workers never re-read bins_dir, so
+        post-construction mutation of the directory cannot affect behavior."""
+        from functools import partial
+        from pathlib import Path
+
+        from ..plonk.serialization import VerifierCircuitData
+        from ..plonk.verifier import verify as plonk_verify
+        from . import artifacts as art
+        from .public_batch import (
+            PublicBatchCircuit,
+            verify_dummy_private_batch_template,
+        )
+
+        cfg = art.CircuitBinsConfig.load(Path(bins_dir) / art.CONFIG_JSON)
+        pb_vdata = art.load_canonical_private_batch_verifier_data(
+            bins_dir,
+            rebuild=private_batch_rebuild,
+            leaf_rebuild=leaf_rebuild,
+            enforce_security_floor=enforce_security_floor,
+        )
+        dummy = art.load_dummy_private_batch_proof(bins_dir)
+        inner_verify = partial(plonk_verify, pb_vdata)
+        circuit = PublicBatchCircuit(
+            pb_vdata, cfg.num_private_batch_proofs, cfg.num_leaf_proofs, config=config
+        )
+        outer_vdata = art.load_canonical_public_batch_verifier_data(
+            bins_dir, rebuild=VerifierCircuitData.from_circuit_data(circuit.data)
+        )
+        outer_verify = partial(plonk_verify, outer_vdata)
+        verify_dummy_private_batch_template(inner_verify, dummy, cfg.num_leaf_proofs)
+        return cls(
+            circuit,
+            inner_verify,
+            outer_verify,
+            dummy,
+            aggregator_address,
+            limits=limits,
+        )
+
     # -- pool facade ---------------------------------------------------------
     def push_proof(self, proof) -> BatchKey:
         return self.pool.push(proof)

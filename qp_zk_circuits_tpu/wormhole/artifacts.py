@@ -36,7 +36,26 @@ MAX_AGG_ARTIFACT_BYTES = 64 << 20  # 64 MiB (aggregation artifacts)
 LEAF_COMMON_BIN = "common.bin"
 LEAF_VERIFIER_BIN = "verifier.bin"
 DUMMY_PROOF_BIN = "dummy_proof.bin"
+PRIVATE_BATCH_COMMON_BIN = "private_batch_common.bin"
+PRIVATE_BATCH_VERIFIER_BIN = "private_batch_verifier.bin"
+DUMMY_PRIVATE_BATCH_PROOF_BIN = "dummy_private_batch_proof.bin"
+PUBLIC_BATCH_COMMON_BIN = "public_batch_common.bin"
+PUBLIC_BATCH_VERIFIER_BIN = "public_batch_verifier.bin"
 CONFIG_JSON = "config.json"
+
+#: the full 9-file artifact set a complete `--include-aggregation` build
+#: publishes (reference `wormhole/README.md:221-222` lists the same set)
+FULL_ARTIFACT_SET = (
+    LEAF_COMMON_BIN,
+    LEAF_VERIFIER_BIN,
+    DUMMY_PROOF_BIN,
+    PRIVATE_BATCH_COMMON_BIN,
+    PRIVATE_BATCH_VERIFIER_BIN,
+    DUMMY_PRIVATE_BATCH_PROOF_BIN,
+    PUBLIC_BATCH_COMMON_BIN,
+    PUBLIC_BATCH_VERIFIER_BIN,
+    CONFIG_JSON,
+)
 
 
 class ArtifactError(ValueError):
@@ -133,6 +152,163 @@ def load_canonical_leaf_verifier_data(bins_dir: Path, rebuild=None) -> VerifierC
     return rebuild
 
 
+def generate_private_batch_circuit_binaries(
+    out_dir: Path,
+    num_leaf_proofs: int,
+    leaf_prover=None,
+    config=None,
+    enforce_security_floor: bool = True,
+    seed: int = 0,
+):
+    """Build the private-batch aggregation circuit over the leaf bins already
+    present in `out_dir` and write private_batch_{common,verifier}.bin plus
+    dummy_private_batch_proof.bin (the padding template for the public layer).
+
+    Mirrors reference `aggregator/src/private_batch/circuit/build.rs:32-116`:
+    the dummy leaf template is validated BEFORE the (expensive) aggregation
+    circuit build, and the all-dummy private batch is proven with the freshly
+    built circuit. Returns (PrivateBatchCircuit, {name: keccak_hex})."""
+    from ..plonk.serialization import proof_from_bytes
+    from .private_batch import (
+        PrivateBatchCircuit,
+        generate_dummy_private_batch_proof,
+        verify_dummy_leaf_template,
+    )
+    from .prover import WormholeProver
+    from .verifier import WormholeVerifier
+
+    out_dir = Path(out_dir)
+    if leaf_prover is None:
+        leaf_prover = WormholeProver()
+    leaf_vdata = VerifierCircuitData.from_circuit_data(leaf_prover.data)
+    # pin the staged leaf artifacts against the in-memory build before use
+    load_canonical_leaf_verifier_data(out_dir, rebuild=leaf_vdata)
+    dummy_leaf = proof_from_bytes(
+        read_artifact_file(out_dir / DUMMY_PROOF_BIN, MAX_AGG_ARTIFACT_BYTES)
+    )
+    leaf_verifier = WormholeVerifier(
+        leaf_vdata, enforce_security_floor=enforce_security_floor
+    )
+    # validate the padding template BEFORE the expensive aggregation build
+    verify_dummy_leaf_template(leaf_verifier, dummy_leaf)
+
+    circuit = PrivateBatchCircuit(
+        leaf_vdata,
+        num_leaf_proofs,
+        config=config,
+        enforce_security_floor=enforce_security_floor,
+    )
+    vdata = VerifierCircuitData.from_circuit_data(circuit.data)
+    common_bytes = vdata.to_bytes()
+    dummy_pb = generate_dummy_private_batch_proof(circuit, dummy_leaf, seed=seed)
+    dummy_pb_bytes = proof_to_bytes(dummy_pb)
+
+    (out_dir / PRIVATE_BATCH_COMMON_BIN).write_bytes(common_bytes)
+    (out_dir / PRIVATE_BATCH_VERIFIER_BIN).write_bytes(common_bytes)
+    (out_dir / DUMMY_PRIVATE_BATCH_PROOF_BIN).write_bytes(dummy_pb_bytes)
+    return circuit, {
+        PRIVATE_BATCH_COMMON_BIN: artifact_keccak(common_bytes),
+        PRIVATE_BATCH_VERIFIER_BIN: artifact_keccak(common_bytes),
+        DUMMY_PRIVATE_BATCH_PROOF_BIN: artifact_keccak(dummy_pb_bytes),
+    }
+
+
+def generate_public_batch_circuit_binaries(
+    out_dir: Path,
+    num_private_batch_proofs: int,
+    num_leaf_proofs: int,
+    private_batch_vdata: VerifierCircuitData,
+    config=None,
+):
+    """Build the public-batch circuit over the private-batch verifier data and
+    write public_batch_{common,verifier}.bin (reference
+    `aggregator/src/public_batch/circuit/build.rs:35-116`).
+    Returns (PublicBatchCircuit, {name: keccak_hex})."""
+    from .public_batch import PublicBatchCircuit
+
+    out_dir = Path(out_dir)
+    circuit = PublicBatchCircuit(
+        private_batch_vdata, num_private_batch_proofs, num_leaf_proofs, config=config
+    )
+    vdata = VerifierCircuitData.from_circuit_data(circuit.data)
+    common_bytes = vdata.to_bytes()
+    (out_dir / PUBLIC_BATCH_COMMON_BIN).write_bytes(common_bytes)
+    (out_dir / PUBLIC_BATCH_VERIFIER_BIN).write_bytes(common_bytes)
+    return circuit, {
+        PUBLIC_BATCH_COMMON_BIN: artifact_keccak(common_bytes),
+        PUBLIC_BATCH_VERIFIER_BIN: artifact_keccak(common_bytes),
+    }
+
+
+def _load_pinned_agg_verifier_data(
+    bins_dir: Path, name: str, rebuild: VerifierCircuitData
+) -> VerifierCircuitData:
+    """Raw-byte pin of an aggregation-layer artifact against a from-source
+    rebuild (reference `utils.rs:126-158`): the untrusted bytes are never
+    deserialized — load fails unless they equal the canonical serialization."""
+    loaded = read_artifact_file(Path(bins_dir) / name, MAX_AGG_ARTIFACT_BYTES)
+    if loaded != rebuild.to_bytes():
+        raise ArtifactError(f"{name} does not match canonical from-source rebuild")
+    return rebuild
+
+
+def load_canonical_private_batch_verifier_data(
+    bins_dir: Path, rebuild=None, leaf_rebuild=None, config=None,
+    enforce_security_floor: bool = True,
+):
+    """Pin + load private_batch_verifier.bin. When `rebuild` is not supplied,
+    the canonical circuit is rebuilt from source: leaf verifier data (itself
+    pinned) + the (L) shape from config.json (reference `utils.rs:265-297`)."""
+    from .private_batch import PrivateBatchCircuit
+
+    bins_dir = Path(bins_dir)
+    if rebuild is None:
+        cfg = CircuitBinsConfig.load(bins_dir / CONFIG_JSON)
+        leaf_vdata = load_canonical_leaf_verifier_data(bins_dir, rebuild=leaf_rebuild)
+        circuit = PrivateBatchCircuit(
+            leaf_vdata,
+            cfg.num_leaf_proofs,
+            config=config,
+            enforce_security_floor=enforce_security_floor,
+        )
+        rebuild = VerifierCircuitData.from_circuit_data(circuit.data)
+    return _load_pinned_agg_verifier_data(bins_dir, PRIVATE_BATCH_VERIFIER_BIN, rebuild)
+
+
+def load_canonical_public_batch_verifier_data(
+    bins_dir: Path, rebuild=None, private_batch_rebuild=None, leaf_rebuild=None,
+    config=None, enforce_security_floor: bool = True,
+):
+    """Pin + load public_batch_verifier.bin (rebuild chain: leaf → private
+    batch → public batch, each layer pinned)."""
+    from .public_batch import PublicBatchCircuit
+
+    bins_dir = Path(bins_dir)
+    if rebuild is None:
+        cfg = CircuitBinsConfig.load(bins_dir / CONFIG_JSON)
+        pb_vdata = load_canonical_private_batch_verifier_data(
+            bins_dir, rebuild=private_batch_rebuild, leaf_rebuild=leaf_rebuild,
+            enforce_security_floor=enforce_security_floor,
+        )
+        circuit = PublicBatchCircuit(
+            pb_vdata, cfg.num_private_batch_proofs, cfg.num_leaf_proofs, config=config
+        )
+        rebuild = VerifierCircuitData.from_circuit_data(circuit.data)
+    return _load_pinned_agg_verifier_data(bins_dir, PUBLIC_BATCH_VERIFIER_BIN, rebuild)
+
+
+def load_dummy_private_batch_proof(bins_dir: Path):
+    """Read + deserialize dummy_private_batch_proof.bin (template validation —
+    sentinel + cryptographic verify — happens in the consumers)."""
+    from ..plonk.serialization import proof_from_bytes
+
+    return proof_from_bytes(
+        read_artifact_file(
+            Path(bins_dir) / DUMMY_PRIVATE_BATCH_PROOF_BIN, MAX_AGG_ARTIFACT_BYTES
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # atomic staged publication (reference circuit-builder/src/lib.rs:115-310)
 
@@ -179,12 +355,23 @@ def generate_all_circuit_binaries(
     num_private_batch_proofs: int | None = None,
     include_aggregation: bool = False,
     seed: int = 0,
+    leaf_config=None,
+    private_batch_config=None,
+    public_batch_config=None,
+    enforce_security_floor: bool = True,
+    rename=os.rename,
 ) -> None:
-    """Full artifact-set generation with atomic publish.
+    """Full artifact-set generation with atomic publish (reference
+    `circuit-builder/src/lib.rs:115-310`).
 
-    Leaf artifacts always; aggregation artifacts when `include_aggregation`
-    (wired up as the recursive layers land). config.json is written LAST
-    inside staging (completion marker) before the atomic swap."""
+    Leaf artifacts always; with `include_aggregation` the complete
+    FULL_ARTIFACT_SET (private + public batch bins and the dummy private-batch
+    proof) is generated into the same staging directory. config.json is
+    written LAST inside staging (completion marker) before the atomic swap.
+    The non-canonical config knobs exist for tests only; production artifact
+    sets use the canonical profiles."""
+    from .prover import WormholeProver
+
     cfg = CircuitBinsConfig(
         num_leaf_proofs=num_leaf_proofs,
         num_private_batch_proofs=num_private_batch_proofs or num_leaf_proofs,
@@ -193,11 +380,26 @@ def generate_all_circuit_binaries(
     output = Path(output)
     staging = create_staging_dir(output)
     try:
-        generate_leaf_circuit_binaries(staging, seed=seed)
+        leaf_prover = WormholeProver(leaf_config)
+        generate_leaf_circuit_binaries(staging, prover=leaf_prover, seed=seed)
         if include_aggregation:
-            raise NotImplementedError("aggregation artifacts land with the recursion layer")
+            pb_circuit, _ = generate_private_batch_circuit_binaries(
+                staging,
+                cfg.num_leaf_proofs,
+                leaf_prover=leaf_prover,
+                config=private_batch_config,
+                enforce_security_floor=enforce_security_floor,
+                seed=seed,
+            )
+            generate_public_batch_circuit_binaries(
+                staging,
+                cfg.num_private_batch_proofs,
+                cfg.num_leaf_proofs,
+                VerifierCircuitData.from_circuit_data(pb_circuit.data),
+                config=public_batch_config,
+            )
         cfg.save(staging / CONFIG_JSON)  # completion marker, written last
-        commit_staging_dir(staging, output)
+        commit_staging_dir(staging, output, rename=rename)
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
         raise

@@ -245,6 +245,47 @@ class PrivateBatchProver:
         self.dummy_template = dummy_template
         self._slots = None
 
+    @classmethod
+    def new_from_binaries_dir(
+        cls,
+        bins_dir,
+        config=None,
+        leaf_rebuild=None,
+        enforce_security_floor: bool = True,
+    ) -> "PrivateBatchProver":
+        """Artifact-loading constructor (reference `prover/lib.rs:213`):
+        config.json gives the (L) shape, the leaf verifier data is pinned
+        raw-byte against a from-source rebuild, the aggregation circuit is
+        rebuilt from source and pinned against private_batch_verifier.bin,
+        and the dummy leaf template is sentinel- + crypto-verified."""
+        from pathlib import Path
+
+        from ..plonk.serialization import proof_from_bytes
+        from . import artifacts as art
+        from .verifier import WormholeVerifier
+
+        bins_dir = Path(bins_dir)
+        cfg = art.CircuitBinsConfig.load(bins_dir / art.CONFIG_JSON)
+        leaf_vdata = art.load_canonical_leaf_verifier_data(bins_dir, rebuild=leaf_rebuild)
+        dummy = proof_from_bytes(
+            art.read_artifact_file(
+                bins_dir / art.DUMMY_PROOF_BIN, art.MAX_AGG_ARTIFACT_BYTES
+            )
+        )
+        circuit = PrivateBatchCircuit(
+            leaf_vdata,
+            cfg.num_leaf_proofs,
+            config=config,
+            enforce_security_floor=enforce_security_floor,
+        )
+        art.load_canonical_private_batch_verifier_data(
+            bins_dir, rebuild=VerifierCircuitData.from_circuit_data(circuit.data)
+        )
+        leaf_verifier = WormholeVerifier(
+            leaf_vdata, enforce_security_floor=enforce_security_floor
+        )
+        return cls(circuit, leaf_verifier, dummy)
+
     def commit(self, proofs: list, rng: np.random.Generator | None = None):
         n = self.circuit.n_leaf
         if not 1 <= len(proofs) <= n:

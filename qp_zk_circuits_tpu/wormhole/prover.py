@@ -43,3 +43,19 @@ class WormholeProver:
 
     def prove_inputs(self, inputs: CircuitInputs, seed: int | None = None):
         return self.commit(inputs).prove(seed=seed)
+
+    def prove_inputs_batch(self, inputs_list, seed: int | None = None) -> list:
+        """Prove many leaves in ONE device round-trip (vmapped fused prover).
+
+        The TPU-native form of the reference's deployment-level parallel leaf
+        proving (SURVEY §2.3: N≤64 independent leaf proofs proven
+        concurrently): the whole batch shares one compiled graph and one
+        tunnel round-trip, so per-proof cost amortizes toward pure compute."""
+        pws = []
+        for inputs in inputs_list:
+            if len(inputs.private.siblings) > MAX_DEPTH:
+                raise ValueError("proof depth exceeds MAX_DEPTH")
+            pw = PartialWitness()
+            fill_witness(pw, inputs, self.targets)
+            pws.append(pw)
+        return plonk_prover.prove_batch(self.data, pws, seed=seed)

@@ -183,6 +183,46 @@ class PublicBatchProver:
         self._slots = None
         self._address = None
 
+    @classmethod
+    def new_from_binaries_dir(
+        cls,
+        bins_dir,
+        config=None,
+        private_batch_rebuild=None,
+        leaf_rebuild=None,
+        enforce_security_floor: bool = True,
+    ) -> "PublicBatchProver":
+        """Artifact-loading constructor (reference `public_batch/prover/lib.rs`):
+        the private-batch verifier data is pinned (rebuild chain from source),
+        the public-batch circuit is rebuilt + pinned against
+        public_batch_verifier.bin, and the dummy private-batch template is
+        sentinel- + crypto-verified before any batch is accepted."""
+        from pathlib import Path
+
+        from . import artifacts as art
+
+        bins_dir = Path(bins_dir)
+        cfg = art.CircuitBinsConfig.load(bins_dir / art.CONFIG_JSON)
+        pb_vdata = art.load_canonical_private_batch_verifier_data(
+            bins_dir,
+            rebuild=private_batch_rebuild,
+            leaf_rebuild=leaf_rebuild,
+            enforce_security_floor=enforce_security_floor,
+        )
+        dummy = art.load_dummy_private_batch_proof(bins_dir)
+
+        def inner_verify(proof):
+            plonk_verify(pb_vdata, proof)  # includes the full shape preflight
+
+        circuit = PublicBatchCircuit(
+            pb_vdata, cfg.num_private_batch_proofs, cfg.num_leaf_proofs, config=config
+        )
+        art.load_canonical_public_batch_verifier_data(
+            bins_dir,
+            rebuild=VerifierCircuitData.from_circuit_data(circuit.data),
+        )
+        return cls(circuit, inner_verify, dummy)
+
     def preflight(self, proofs: list) -> list:
         if not 1 <= len(proofs) <= self.circuit.m:
             raise BatchCompatibilityError(f"batch size must be in 1..={self.circuit.m}")

@@ -10,8 +10,28 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..hash.keccak import keccak256
 from ..plonk.verifier import VerificationError, verify as plonk_verify
+from . import canonical_pins as pins
 from . import inputs as wi
+
+
+def ensure_loaded_matches_canonical_leaf_profile(vdata) -> None:
+    """Config + PI-shape re-check after deserialization (reference
+    `verifier/src/lib.rs:215-246`): the loaded artifact must describe exactly
+    the canonical leaf profile — config equality, 21 public inputs, and the
+    100-bit security floor — even though the keccak pin already passed."""
+    from ..utils.config_policy import wormhole_leaf_circuit_config
+
+    if vdata.config != wormhole_leaf_circuit_config():
+        raise VerificationError("loaded verifier data config is not the canonical leaf profile")
+    if vdata.num_public_inputs != wi.PUBLIC_INPUTS_FELTS_LEN:
+        raise VerificationError(
+            f"loaded verifier data exposes {vdata.num_public_inputs} public inputs, "
+            f"expected {wi.PUBLIC_INPUTS_FELTS_LEN}"
+        )
+    if vdata.config.total_security_bits() < wi.MIN_LEAF_SECURITY_BITS:
+        raise VerificationError("loaded verifier data below the canonical security floor")
 
 
 class WormholeVerifier:
@@ -28,6 +48,53 @@ class WormholeVerifier:
                 f"leaf config security {cfg.total_security_bits()} below floor "
                 f"{wi.MIN_LEAF_SECURITY_BITS}"
             )
+
+    @classmethod
+    def new_from_bytes(
+        cls, verifier_bytes: bytes, common_bytes: bytes | None = None,
+        enforce_pins: bool = True,
+    ) -> "WormholeVerifier":
+        """Load from artifact bytes with the reference's pinning ladder
+        (`verifier/src/lib.rs:170-246`): size caps → keccak256 pins against
+        the compiled-in canonical digests → deserialize → config/PI-shape
+        re-check. ONLY the canonical artifact can load when pins are on."""
+        from ..plonk.serialization import VerifierCircuitData
+        from .artifacts import MAX_VERIFIER_ARTIFACT_BYTES
+
+        for name, blob, pin in (
+            ("verifier.bin", verifier_bytes, pins.CANONICAL_LEAF_VERIFIER_KECCAK256),
+            ("common.bin", common_bytes, pins.CANONICAL_LEAF_COMMON_KECCAK256),
+        ):
+            if blob is None:
+                continue
+            if len(blob) > MAX_VERIFIER_ARTIFACT_BYTES:
+                raise VerificationError(f"{name} exceeds the artifact size cap")
+            if enforce_pins:
+                if pin is None:
+                    raise VerificationError("canonical keccak pins are unset in this build")
+                if keccak256(blob).hex() != pin:
+                    raise VerificationError(f"{name} keccak256 does not match the canonical pin")
+        vdata = VerifierCircuitData.from_bytes(
+            verifier_bytes, max_len=MAX_VERIFIER_ARTIFACT_BYTES
+        )
+        ensure_loaded_matches_canonical_leaf_profile(vdata)
+        return cls(vdata)
+
+    @classmethod
+    def new_from_files(
+        cls, verifier_path, common_path=None, enforce_pins: bool = True
+    ) -> "WormholeVerifier":
+        """File-loading variant: size-capped reads BEFORE allocation
+        (reference `verifier/src/lib.rs:143-159, 255-268`)."""
+        from .artifacts import MAX_VERIFIER_ARTIFACT_BYTES, read_artifact_file
+
+        verifier_bytes = read_artifact_file(verifier_path, MAX_VERIFIER_ARTIFACT_BYTES)
+        common_bytes = (
+            read_artifact_file(common_path, MAX_VERIFIER_ARTIFACT_BYTES)
+            if common_path is not None
+            else None
+        )
+        return cls.new_from_bytes(verifier_bytes, common_bytes, enforce_pins=enforce_pins)
 
     def verify(self, proof) -> wi.PublicCircuitInputs:
         """Verify and return the parsed public inputs."""

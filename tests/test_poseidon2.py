@@ -172,5 +172,70 @@ class TestSponge:
         assert np.array_equal(gl.to_u64(out2), host2)
 
 
+class TestNative:
+    """The compiled C permutation must be bit-identical to the pure paths
+    (the C layer is the host runtime; Python stays the differential oracle)."""
+
+    def test_native_available(self):
+        from qp_zk_circuits_tpu import native as nat
+
+        assert nat.available(), "C toolchain missing — native host runtime not built"
+
+    def test_native_matches_pure(self, rng):
+        from qp_zk_circuits_tpu import native as nat
+
+        states = F.rand_felts((32, 12), rng)
+        assert np.array_equal(nat.permute_batch(states), ps._permute_np_pure(states))
+        one = states[0]
+        assert [int(v) for v in nat.permute_batch(one)] == ps._permute_scalar_pure(one)
+        ins = F.rand_felts((37,), rng)
+        state = np.zeros(12, dtype=np.uint64)
+        for start in range(0, 37, ps.RATE):
+            chunk = ins[start : start + ps.RATE]
+            state = state.copy()
+            state[: len(chunk)] = chunk
+            state = ps._permute_np_pure(state)
+        assert np.array_equal(nat.hash_no_pad(ins), state[:4])
+
+    def test_native_trace_matches_gate_fill(self, rng):
+        """permute_trace_batch emits exactly the wire values the Poseidon2
+        gate's pure fill_row computes."""
+        from qp_zk_circuits_tpu import native as nat
+        from qp_zk_circuits_tpu.plonk.gates import Poseidon2Gate
+
+        g = Poseidon2Gate()
+        state = F.rand_felts((12,), rng)
+        cells = {i: int(state[i]) for i in range(12)}
+        got = {}
+
+        # pure path (force-fallback by computing with the module's scalar code)
+        ext_rcs, int_rcs, diag = ps._int_constants()
+        P = ps._P_INT
+        x = ps._scalar_ext_linear([int(v) for v in state])
+        want = {}
+        for r in range(4):
+            x = [pow(x[i] + ext_rcs[r][i], 7, P) for i in range(12)]
+            for i in range(12):
+                want[g.W_EXT_A + 12 * r + i] = x[i]
+            x = ps._scalar_ext_linear(x)
+        for k in range(22):
+            x0 = pow(x[0] + int_rcs[k], 7, P)
+            want[g.W_INT + k] = x0
+            x[0] = x0
+            tot = sum(x)
+            x = [(diag[i] * x[i] + tot) % P for i in range(12)]
+        for r in range(3):
+            x = [pow(x[i] + ext_rcs[4 + r][i], 7, P) for i in range(12)]
+            for i in range(12):
+                want[g.W_EXT_B + 12 * r + i] = x[i]
+            x = ps._scalar_ext_linear(x)
+        out = ps._scalar_ext_linear([pow(x[i] + ext_rcs[7][i], 7, P) for i in range(12)])
+        for i in range(12):
+            want[g.W_OUT + i] = out[i]
+
+        g.fill_row(lambda c: cells[c], lambda c, v: got.__setitem__(c, v % P))
+        assert got == want
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

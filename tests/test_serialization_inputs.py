@@ -183,6 +183,78 @@ class TestConfigPolicy:
         assert cfg.total_security_bits() == 100
 
 
+class TestTransferProofJson:
+    """Bounded parser for untrusted transfer-proof documents
+    (reference `common/src/circuit.rs:20-370`)."""
+
+    def test_parse_minimal_document(self):
+        from qp_zk_circuits_tpu.utils import transfer_proof as tp
+
+        doc = tp.TransferProofJson.from_json_str(
+            '{"transfer_count":1,"state_root":"00","storage_proof":["00"],"indices":[0]}'
+        )
+        assert doc.transfer_count == 1
+        assert doc.state_root == "00"
+        assert doc.storage_proof == ["00"]
+        assert doc.indices == [0]
+        doc.validate()
+
+    def test_raw_cap_checked_before_parse(self):
+        from qp_zk_circuits_tpu.utils import transfer_proof as tp
+
+        oversized = '{"junk":"' + "a" * tp.MAX_TRANSFER_PROOF_JSON_BYTES + '"}'
+        with pytest.raises(tp.TransferProofError, match="refusing to parse"):
+            tp.TransferProofJson.from_json_str(oversized)
+
+    def test_per_field_bounds(self):
+        from qp_zk_circuits_tpu.utils import transfer_proof as tp
+
+        base = {
+            "transfer_count": 1,
+            "state_root": "00",
+            "storage_proof": ["00"],
+            "indices": [0],
+        }
+        import json as _json
+
+        cases = [
+            ({**base, "state_root": "f" * (tp.MAX_STATE_ROOT_HEX_LEN + 1)}, "state_root"),
+            ({**base, "storage_proof": ["00"] * (tp.MAX_STORAGE_PROOF_NODES + 1)}, "nodes"),
+            ({**base, "indices": [0] * (tp.MAX_MERKLE_INDICES + 1)}, "entries"),
+            ({**base, "transfer_count": -1}, "u64"),
+            ({**base, "transfer_count": 1 << 64}, "u64"),
+            ({**base, "transfer_count": 1.5}, "u64"),
+            ({**base, "indices": [-1]}, "non-negative"),
+        ]
+        for obj, needle in cases:
+            with pytest.raises(tp.TransferProofError, match=needle):
+                tp.TransferProofJson.from_json_str(_json.dumps(obj))
+        # aggregate storage-proof byte cap
+        node = "a" * 4096
+        too_many = {**base, "storage_proof": [node] * (tp.MAX_STORAGE_PROOF_HEX_BYTES // 4096 + 1)}
+        with pytest.raises(tp.TransferProofError, match="total bytes"):
+            tp.TransferProofJson.from_json_str(_json.dumps(too_many))
+
+    def test_missing_fields_and_wrong_shapes(self):
+        from qp_zk_circuits_tpu.utils import transfer_proof as tp
+
+        with pytest.raises(tp.TransferProofError, match="missing"):
+            tp.TransferProofJson.from_json_str('{"transfer_count": 1}')
+        with pytest.raises(tp.TransferProofError, match="object"):
+            tp.TransferProofJson.from_json_str("[1, 2]")
+        with pytest.raises(tp.TransferProofError, match="failed to parse"):
+            tp.TransferProofJson.from_json_str("not json")
+
+    def test_no_generic_parse_path(self):
+        """The analogue of the reference's compile-fail pin: the only parse
+        entry point is from_json_str (no from_dict / no Deserialize hook)."""
+        from qp_zk_circuits_tpu.utils import transfer_proof as tp
+
+        assert not hasattr(tp.TransferProofJson, "from_dict")
+        assert not hasattr(tp.TransferProofJson, "from_json")
+        assert not hasattr(tp.TransferProofJson, "parse")
+
+
 class TestKeccak:
     def test_known_vectors(self):
         # keccak256("") and keccak256("abc") — published test vectors
