@@ -46,7 +46,22 @@ def _is_scalar_pair(a) -> bool:
     return isinstance(a, np.ndarray) and a.shape == (2,)
 
 
+def pair(x) -> tuple:
+    """np (2,) extension value -> (int, int) tuple (the host verifier's
+    scalar domain: pure Python-int arithmetic, no numpy packing)."""
+    if type(x) is tuple:
+        return x
+    a = np.asarray(x, dtype=np.uint64).reshape(2)
+    return (int(a[0]), int(a[1]))
+
+
+def unpair(t) -> np.ndarray:
+    return np.array([t[0], t[1]], dtype=np.uint64)
+
+
 def add(a, b):
+    if type(a) is tuple:
+        return ((a[0] + b[0]) % _P_INT, (a[1] + b[1]) % _P_INT)
     if _is_scalar_pair(a) and _is_scalar_pair(b):
         return np.array(
             [(int(a[0]) + int(b[0])) % _P_INT, (int(a[1]) + int(b[1])) % _P_INT],
@@ -56,6 +71,8 @@ def add(a, b):
 
 
 def sub(a, b):
+    if type(a) is tuple:
+        return ((a[0] - b[0]) % _P_INT, (a[1] - b[1]) % _P_INT)
     if _is_scalar_pair(a) and _is_scalar_pair(b):
         return np.array(
             [(int(a[0]) - int(b[0])) % _P_INT, (int(a[1]) - int(b[1])) % _P_INT],
@@ -69,6 +86,10 @@ def neg(a):
 
 
 def mul(a, b):
+    if type(a) is tuple:
+        a0, a1 = a
+        b0, b1 = b
+        return ((a0 * b0 + W * a1 * b1) % _P_INT, (a0 * b1 + a1 * b0) % _P_INT)
     if _is_scalar_pair(a) and _is_scalar_pair(b):
         a0, a1, b0, b1 = int(a[0]), int(a[1]), int(b[0]), int(b[1])
         return np.array(
@@ -84,6 +105,9 @@ def mul(a, b):
 
 def scalar_mul(a, s):
     """Multiply extension element(s) by base-field scalar(s)."""
+    if type(a) is tuple:
+        si = int(s)
+        return (a[0] * si % _P_INT, a[1] * si % _P_INT)
     if _is_scalar_pair(a) and np.ndim(s) == 0:
         si = int(s)
         return np.array(
@@ -99,6 +123,10 @@ def sqr(a):
 
 def inv(a):
     """(a0 + a1 X)^-1 = (a0 - a1 X) / (a0^2 - W a1^2)."""
+    if type(a) is tuple:
+        a0, a1 = a
+        ninv = pow((a0 * a0 - W * a1 * a1) % _P_INT, _P_INT - 2, _P_INT)
+        return (a0 * ninv % _P_INT, (-a1) * ninv % _P_INT)
     if _is_scalar_pair(a):
         a0, a1 = int(a[0]), int(a[1])
         ninv = pow((a0 * a0 - W * a1 * a1) % _P_INT, _P_INT - 2, _P_INT)

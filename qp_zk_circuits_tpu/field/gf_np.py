@@ -67,6 +67,8 @@ def is_canonical(x) -> np.ndarray:
 @_wrapping
 def add(a, b) -> np.ndarray:
     """Canonical a + b mod p."""
+    if np.ndim(a) == 0 and np.ndim(b) == 0:
+        return np.uint64((int(a) + int(b)) % 0xFFFFFFFF00000001)
     a = np.asarray(a, dtype=np.uint64)
     b = np.asarray(b, dtype=np.uint64)
     s = a + b  # wraps mod 2^64
@@ -79,6 +81,8 @@ def add(a, b) -> np.ndarray:
 @_wrapping
 def sub(a, b) -> np.ndarray:
     """Canonical a - b mod p."""
+    if np.ndim(a) == 0 and np.ndim(b) == 0:
+        return np.uint64((int(a) - int(b)) % 0xFFFFFFFF00000001)
     a = np.asarray(a, dtype=np.uint64)
     b = np.asarray(b, dtype=np.uint64)
     d = a - b  # wraps
@@ -131,6 +135,9 @@ def reduce128(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
 
 
 def mul(a, b) -> np.ndarray:
+    if np.ndim(a) == 0 and np.ndim(b) == 0:
+        # scalar fast path: Python-int mulmod (~100x the numpy scalar chain)
+        return np.uint64(int(a) * int(b) % 0xFFFFFFFF00000001)
     a = np.asarray(a, dtype=np.uint64)
     b = np.asarray(b, dtype=np.uint64)
     lo, hi = _mul_wide(a, b)
@@ -142,10 +149,15 @@ def sqr(a) -> np.ndarray:
 
 
 def pow_scalar(base, exp: int):
-    """base ** exp mod p, exp a Python int >= 0 (vectorised over base)."""
+    """base ** exp mod p, exp a Python int >= 0 (vectorised over base).
+
+    Scalar bases use Python-int pow (~1 us) instead of a ~64-step numpy
+    square-and-multiply chain (~1 ms) — the host verifier's hottest call."""
+    e = int(exp)
+    if np.ndim(base) == 0:
+        return np.uint64(pow(int(base), e, 0xFFFFFFFF00000001))
     result = np.full_like(np.asarray(base, dtype=np.uint64), _U64(1))
     acc = np.asarray(base, dtype=np.uint64).copy()
-    e = int(exp)
     while e > 0:
         if e & 1:
             result = mul(result, acc)
@@ -179,6 +191,7 @@ def batch_inv(a: np.ndarray) -> np.ndarray:
     return out
 
 
+@functools.cache
 def primitive_root_of_unity(n_log: int) -> np.uint64:
     """Primitive 2^n_log-th root of unity."""
     assert 0 <= n_log <= TWO_ADICITY

@@ -72,14 +72,25 @@ def fri_verify(
     if len(proof.query_rounds) != len(indices):
         _fail("wrong number of query rounds")
 
-    # precompute alpha powers per batch
+    # the query loop runs in the (int, int) ext-tuple domain: pure Python-int
+    # arithmetic through the shared ext ops (no numpy packing per op)
+    alpha_t = ext.pair(alpha)
     total_terms = instance.num_terms()
-    apows_all = ext.powers_table(np.asarray(alpha, dtype=np.uint64), total_terms)
+    apows_int: list[tuple] = [(1, 0)]
+    for _ in range(total_terms - 1):
+        apows_int.append(ext.mul(apows_int[-1], alpha_t))
     batch_slices = []
     off = 0
     for b in instance.batches:
         batch_slices.append((off, off + len(b.polys)))
         off += len(b.polys)
+    openings_t = [
+        [ext.pair(y) for y in np.asarray(o, dtype=np.uint64).reshape(-1, 2)]
+        for o in openings
+    ]
+    betas_t = [ext.pair(b) for b in betas]
+    final_poly_t = [ext.pair(c) for c in proof.final_poly]
+    half_inv = pow(2, P - 2, P)
 
     g = int(F.MULTIPLICATIVE_GROUP_GENERATOR)
     w0 = int(F.primitive_root_of_unity(lde_bits))
@@ -98,27 +109,28 @@ def fri_verify(
 
         # 2. recompute Q(x) from the opened rows
         x = g * pow(w0, q0, P) % P
-        qval = np.zeros(2, dtype=np.uint64)
+        qval = (0, 0)
         for bi, batch in enumerate(instance.batches):
             s, e = batch_slices[bi]
-            apows = apows_all[s:e]
-            vals = np.array(
-                [round_.initial_rows[oi][pj] for oi, pj in batch.polys],
-                dtype=np.uint64,
-            )
-            sb = ext.sum_axis0(ext.scalar_mul(apows, vals))
-            y = np.asarray(openings[bi], dtype=np.uint64).reshape(-1, 2)
-            cb = ext.sum_axis0(ext.mul(apows, y))
+            sb0 = sb1 = 0
+            for k, (oi, pj) in enumerate(batch.polys):
+                ap = apows_int[s + k]
+                v = int(round_.initial_rows[oi][pj])
+                sb0 += ap[0] * v
+                sb1 += ap[1] * v
+            sb = (sb0 % P, sb1 % P)
+            cb = (0, 0)
+            for k, y in enumerate(openings_t[bi]):
+                cb = ext.add(cb, ext.mul(apows_int[s + k], y))
             num = ext.sub(sb, cb)
-            z = np.array([batch.point[0], batch.point[1]], dtype=np.uint64)
-            xz = np.array([F.sub(np.uint64(x), z[0]), F.neg(z[1])], dtype=np.uint64)
+            xz = ((x - int(batch.point[0])) % P, (-int(batch.point[1])) % P)
             qval = ext.add(qval, ext.mul(num, ext.inv(xz)))
 
         # 3. fold walk
         cur_val = qval
         q = q0
         m = m0
-        for li, (a_bits, beta) in enumerate(zip(schedule, betas)):
+        for li, (a_bits, beta) in enumerate(zip(schedule, betas_t)):
             step = round_.steps[li]
             arity = 1 << a_bits
             mp = m >> a_bits
@@ -127,7 +139,7 @@ def fri_verify(
             leaf = np.asarray(step.leaf_values, dtype=np.uint64)
             if leaf.shape != (arity, 2):
                 _fail("malformed fold leaf")
-            if not np.array_equal(leaf[j], cur_val):
+            if ext.pair(leaf[j]) != cur_val:
                 _fail(f"fold consistency failed at layer {li}")
             flat_row = leaf.reshape(-1)
             if not verify_row(proof.commit_caps[li], flat_row, q_next, step.siblings):
@@ -137,9 +149,9 @@ def fri_verify(
             w_cur = pow(w0, 1 << (lde_bits - (m.bit_length() - 1)), P)
             x_q = g_pow_shift(lde_bits, m, q_next)
             gamma = pow(w_cur, mp, P)
-            vals = [leaf[k] for k in range(arity)]
+            vals = [ext.pair(leaf[k]) for k in range(arity)]
             pts = [x_q * pow(gamma, k, P) % P for k in range(arity)]
-            beta_t = beta.copy()
+            beta_t = beta
             while len(vals) > 1:
                 half = len(vals) // 2
                 new_vals = []
@@ -147,9 +159,9 @@ def fri_verify(
                     vs = ext.add(vals[k], vals[k + half])
                     vd = ext.sub(vals[k], vals[k + half])
                     inv_p = pow(pts[k], P - 2, P)
-                    t = ext.scalar_mul(ext.mul(vd, beta_t), np.uint64(inv_p))
+                    t = ext.scalar_mul(ext.mul(vd, beta_t), inv_p)
                     tot = ext.add(vs, t)
-                    new_vals.append(ext.scalar_mul(tot, np.uint64(pow(2, P - 2, P))))
+                    new_vals.append(ext.scalar_mul(tot, half_inv))
                 vals = new_vals
                 pts = [p * p % P for p in pts[:half]]
                 beta_t = ext.mul(beta_t, beta_t)
@@ -159,11 +171,11 @@ def fri_verify(
 
         # 4. final polynomial evaluation
         x_final = g_pow_shift(lde_bits, m, q)
-        acc = np.zeros(2, dtype=np.uint64)
-        for c in proof.final_poly[::-1]:
-            acc = ext.scalar_mul(acc, np.uint64(x_final))
-            acc = ext.add(acc, np.asarray(c, dtype=np.uint64))
-        if not np.array_equal(acc, cur_val):
+        acc = (0, 0)
+        for c in final_poly_t[::-1]:
+            acc = ext.scalar_mul(acc, x_final)
+            acc = ext.add(acc, c)
+        if acc != cur_val:
             _fail("final polynomial check failed")
 
 

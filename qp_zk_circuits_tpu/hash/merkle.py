@@ -107,6 +107,9 @@ def build_merkle_tree(leaves: GF, cap_height: int) -> MerkleTree:
 
 def merkle_root_from_proof(leaf_digest: np.ndarray, index: int, siblings: np.ndarray) -> np.ndarray:
     """Host walk: recompute the cap entry from a leaf digest and its siblings."""
+    nat = ps._native()
+    if nat is not None and len(siblings):
+        return nat.merkle_walk(leaf_digest, index, siblings)
     cur = np.asarray(leaf_digest, dtype=np.uint64)
     idx = index
     for sib in siblings:

@@ -58,6 +58,9 @@ def _load():
         lib.p2_hash_no_pad.argtypes = [u64p, ctypes.c_size_t, u64p]
         lib.p2_hash_no_pad_many.argtypes = [u64p, ctypes.c_size_t, ctypes.c_size_t, u64p]
         lib.p2_two_to_one_many.argtypes = [u64p, u64p, ctypes.c_size_t, u64p]
+        lib.p2_merkle_walk.argtypes = [
+            u64p, ctypes.c_uint64, u64p, ctypes.c_size_t, u64p,
+        ]
 
         from ..hash import poseidon2 as ps
 
@@ -126,6 +129,17 @@ def hash_no_pad_many(rows: np.ndarray) -> np.ndarray:
     digests = np.empty((n, 4), dtype=np.uint64)
     lib.p2_hash_no_pad_many(_ptr(arr), n, length, _ptr(digests))
     return digests
+
+
+def merkle_walk(leaf_digest: np.ndarray, index: int, siblings: np.ndarray) -> np.ndarray:
+    """One-call Merkle path fold: leaf (4,), siblings (L, 4) -> cap entry (4,)."""
+    lib = _load()
+    assert lib is not None
+    leaf = np.ascontiguousarray(leaf_digest, dtype=np.uint64)
+    sibs = np.ascontiguousarray(siblings, dtype=np.uint64).reshape(-1, 4)
+    out = np.empty(4, dtype=np.uint64)
+    lib.p2_merkle_walk(_ptr(leaf), int(index), _ptr(sibs), sibs.shape[0], _ptr(out))
+    return out
 
 
 def two_to_one_many(left: np.ndarray, right: np.ndarray) -> np.ndarray:

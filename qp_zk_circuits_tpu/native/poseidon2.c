@@ -190,6 +190,31 @@ void p2_hash_no_pad_many(const uint64_t *in, size_t n, size_t len,
         p2_hash_no_pad(in + k * len, len, digests + 4 * k);
 }
 
+/* Full Merkle path walk in one call: start from a leaf digest, fold in
+ * `levels` sibling digests (order chosen by the index bits), write the
+ * reached cap entry. The host verifier's hottest loop (28 query rounds x
+ * 4 oracles x ~10 levels). */
+void p2_merkle_walk(const uint64_t *leaf /* 4 */, uint64_t index,
+                    const uint64_t *siblings /* levels x 4 */, size_t levels,
+                    uint64_t *out /* 4 */) {
+    uint64_t st[WIDTH];
+    uint64_t cur[4];
+    for (int i = 0; i < 4; i++) cur[i] = leaf[i];
+    for (size_t l = 0; l < levels; l++) {
+        const uint64_t *sib = siblings + 4 * l;
+        for (int i = 0; i < WIDTH; i++) st[i] = 0;
+        if (index & 1) {
+            for (int i = 0; i < 4; i++) { st[i] = sib[i]; st[4 + i] = cur[i]; }
+        } else {
+            for (int i = 0; i < 4; i++) { st[i] = cur[i]; st[4 + i] = sib[i]; }
+        }
+        permute_one(st);
+        for (int i = 0; i < 4; i++) cur[i] = st[i];
+        index >>= 1;
+    }
+    for (int i = 0; i < 4; i++) out[i] = cur[i];
+}
+
 /* Merkle 2-to-1 compression, batched: left/right/out are n rows of 4. */
 void p2_two_to_one_many(const uint64_t *left, const uint64_t *right, size_t n,
                         uint64_t *out) {

@@ -73,8 +73,8 @@ def sharded_prove_batch(data, mesh: Mesh, pws: list, seed: int | None = None) ->
     import jax
 
     from ..plonk.prover_fused import (
+        _batch_flat_inputs,
         _build_fused,
-        _flat_input,
         _unpack_proof,
     )
 
@@ -88,12 +88,7 @@ def sharded_prove_batch(data, mesh: Mesh, pws: list, seed: int | None = None) ->
         data.__dict__["_fused"] = cache
     fused_jit, layout, bundle, meta = cache
 
-    flats, pis_list = [], []
-    for pw in pws:
-        flat, pis = _flat_input(data, pw, rng, meta)
-        flats.append(flat)
-        pis_list.append(pis)
-    flat_in = np.stack(flats)
+    flat_in, pis_list = _batch_flat_inputs(data, pws, rng, meta)
     k = len(pws)
     assert k % mesh.shape["proofs"] == 0, "batch must tile the proofs axis"
 

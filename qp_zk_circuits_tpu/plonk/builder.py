@@ -44,6 +44,39 @@ from .gates import (
 
 P = 0xFFFFFFFF00000001
 
+
+# -- polymorphic witness field ops -------------------------------------------
+# Generator closures run in TWO modes: scalar Python ints (single witness)
+# and numpy uint64 (K,)-vectors (batched witness generation — one fixpoint
+# pass computes K witnesses at once). Plain `*`/`%` would silently wrap on
+# uint64 arrays, so every closure goes through these helpers.
+
+
+def _fmadd(c0: int, a, b, c1: int, c):
+    """c0*a*b + c1*c (mod p) — the ArithmeticGate op."""
+    if type(a) is int and type(b) is int and type(c) is int:
+        return (c0 * a * b + c1 * c) % P
+    ab = F.mul(np.asarray(a, np.uint64), np.asarray(b, np.uint64))
+    return F.add(
+        F.mul(np.uint64(c0), ab), F.mul(np.uint64(c1), np.asarray(c, np.uint64))
+    )
+
+
+def _finv_or_zero(d):
+    """d^{-1} if d != 0 else 0 (the is_equal witness hint)."""
+    if type(d) is int:
+        return pow(d, P - 2, P) if d else 0
+    d = np.asarray(d, np.uint64)
+    return np.where(d == 0, np.uint64(0), F.inv(d))
+
+
+def _finv(a):
+    """a^{-1} (the inverse gadget witness; a == 0 yields 0 and the circuit's
+    a*inv == 1 constraint fails to prove, as intended)."""
+    if type(a) is int:
+        return pow(a, P - 2, P)
+    return F.inv(np.asarray(a, np.uint64))
+
 # routed-coset shifts k_i = 7^i (distinct cosets of H for i < num_routed)
 @functools.cache
 def coset_shifts(num_routed: int) -> np.ndarray:
@@ -174,7 +207,7 @@ class CircuitBuilder:
         self._simple_generator(
             [a, b, c],
             lambda get, c0=c0, c1=c1, a=a, b=b, c=c: [
-                (c0 * get(a) * get(b) + c1 * get(c)) % P
+                _fmadd(c0, get(a), get(b), c1, get(c))
             ],
             [out],
         )
@@ -210,9 +243,7 @@ class CircuitBuilder:
     def inverse(self, a: int) -> int:
         """out = a^{-1}; constrained by a * out == 1 (fails to prove if a == 0)."""
         inv = self.add_virtual_target()
-        self._simple_generator(
-            [a], lambda get, a=a: [pow(get(a), P - 2, P)], [inv]
-        )
+        self._simple_generator([a], lambda get, a=a: [_finv(get(a))], [inv])
         prod = self.mul(a, inv)
         self.connect(prod, self.one())
         return inv
@@ -252,7 +283,7 @@ class CircuitBuilder:
         d = self.sub(x, y)
         m = self.add_virtual_target()
         self._simple_generator(
-            [d], lambda get, d=d: [pow(get(d), P - 2, P) if get(d) else 0], [m]
+            [d], lambda get, d=d: [_finv_or_zero(get(d))], [m]
         )
         dm = self.mul(d, m)
         eq = self.sub(self.one(), dm)
@@ -599,8 +630,14 @@ class WitnessError(Exception):
     pass
 
 
-def generate_witness(data: CircuitData, pw: PartialWitness, rng=None):
-    """Run generators to a fixpoint; returns (trace (num_wires, n), public_inputs)."""
+def run_generators(data: CircuitData, pw: PartialWitness) -> dict:
+    """Run generators to a fixpoint; returns {root_target: value}.
+
+    The firing ORDER depends only on which targets the PartialWitness seeds
+    (fixed for a given circuit's prover), so the first run records it and
+    subsequent runs REPLAY it linearly — no dependency rescanning (~40% of
+    witness time on the leaf). A changed seed-set falls back to the fixpoint
+    and records a fresh program."""
     values: dict[int, int] = {}
     root = data.target_root
 
@@ -613,12 +650,26 @@ def generate_witness(data: CircuitData, pw: PartialWitness, rng=None):
     def get_val(t):
         return values[root[t]]
 
-    def has_val(t):
-        return root[t] in values
-
     for t, v in pw.values.items():
         set_val(t, v)
 
+    keyset = frozenset(root[t] for t in pw.values)
+    cached = data.__dict__.get("_witness_program")
+    if cached is not None and cached[0] == keyset:
+        for action in cached[1]:
+            if isinstance(action, tuple) and action[0] == "gate_fill":
+                for t, v in action[1](get_val):
+                    set_val(t, v)
+            else:
+                fn, outputs = action
+                for t, v in zip(outputs, fn(get_val)):
+                    set_val(t, v)
+        return values
+
+    def has_val(t):
+        return root[t] in values
+
+    program: list = []
     pending = list(data.generators)
     progress = True
     while pending and progress:
@@ -636,23 +687,171 @@ def generate_witness(data: CircuitData, pw: PartialWitness, rng=None):
                     results = fn(get_val)
                     for t, v in zip(outputs, results):
                         set_val(t, v)
+                program.append(action)
                 progress = True
             else:
                 still.append((deps, action))
         pending = still
     if pending:
         raise WitnessError(f"{len(pending)} generators never ran (missing inputs)")
+    data.__dict__["_witness_program"] = (keyset, program)
+    return values
+
+
+def run_generators_batch(data: CircuitData, pws: list) -> dict:
+    """ONE fixpoint pass computing K witnesses at once: every value is a
+    (K,) uint64 vector and the (array-polymorphic) generator closures fire
+    once per generator instead of once per proof. All witnesses must assign
+    the same target set (same circuit usage), which holds for any fixed
+    circuit's prover. Returns {root_target: (K,) uint64}."""
+    k = len(pws)
+    keys = set(pws[0].values.keys())
+    for pw in pws[1:]:
+        if set(pw.values.keys()) != keys:
+            raise WitnessError("batched witnesses must assign the same target set")
+
+    values: dict[int, np.ndarray] = {}
+    root = data.target_root
+
+    def set_val(t, v):
+        r = root[t]
+        if isinstance(v, np.ndarray):
+            # closures produce canonical uint64 via the F.* helpers
+            v = np.asarray(v, np.uint64)
+        else:
+            v = np.full(k, int(v) % P, np.uint64)
+        ex = values.get(r)
+        if ex is not None and not np.array_equal(ex, v):
+            raise WitnessError(f"conflicting witness value for target {t}")
+        values[r] = v
+
+    def get_val(t):
+        return values[root[t]]
+
+    def has_val(t):
+        return root[t] in values
+
+    for t in keys:
+        set_val(t, np.array([pw.values[t] for pw in pws], dtype=np.uint64))
+
+    keyset = frozenset(root[t] for t in keys)
+    cached = data.__dict__.get("_witness_program")
+    if cached is not None and cached[0] == keyset:
+        pending = []  # replay the recorded linear program
+        for action in cached[1]:
+            if isinstance(action, tuple) and action[0] == "gate_fill":
+                for t, v in action[1](get_val):
+                    set_val(t, v)
+            else:
+                fn, outputs = action
+                for t, v in zip(outputs, fn(get_val)):
+                    set_val(t, v)
+        return values
+
+    pending = list(data.generators)
+    progress = True
+    while pending and progress:
+        progress = False
+        still = []
+        for deps, action in pending:
+            if all(has_val(d) for d in deps):
+                if isinstance(action, tuple) and action[0] == "gate_fill":
+                    for t, v in action[1](get_val):
+                        set_val(t, v)
+                else:
+                    fn, outputs = action
+                    for t, v in zip(outputs, fn(get_val)):
+                        set_val(t, v)
+                progress = True
+            else:
+                still.append((deps, action))
+        pending = still
+    if pending:
+        raise WitnessError(f"{len(pending)} generators never ran (missing inputs)")
+    return values
+
+
+def witness_batch_inputs(data: CircuitData, pws: list):
+    """Batched host side for the scatter-path fused prover (non-ZK):
+    returns (vals (K, n_slots) uint64, pis (K, n_pi) uint64)."""
+    values = run_generators_batch(data, pws)
+    roots_order, _, _, _ = witness_scatter_tables(data)
+    k = len(pws)
+    vals = np.zeros((k, len(roots_order)), dtype=np.uint64)
+    for i, r in enumerate(roots_order):
+        v = values.get(r)
+        if v is not None:
+            vals[:, i] = v
+    root = data.target_root
+    pis = np.stack(
+        [values[root[t]] for t in data.public_input_targets], axis=1
+    ) if data.public_input_targets else np.zeros((k, 0), dtype=np.uint64)
+    return vals, pis
+
+
+def witness_scatter_tables(data: CircuitData):
+    """Static (per-circuit) tables for DEVICE-side trace materialization:
+    the host ships only the ~|roots| distinct witness values and the fused
+    graph scatters them into the (num_wires, n) trace — an ~11x smaller
+    upload than the dense trace (tunnel bandwidth is the leaf-throughput
+    floor) and no host-side (num_wires x n) fill loop.
+
+    Returns (roots_order, slot_of_root, cell_flat_idx, cell_slot_idx)."""
+    cached = data.__dict__.get("_scatter")
+    if cached is not None:
+        return cached
+    root = data.target_root
+    roots_order: list[int] = []
+    slot_of_root: dict[int, int] = {}
+    cell_flat = np.empty(len(data.cell_target), dtype=np.int32)
+    cell_slot = np.empty(len(data.cell_target), dtype=np.int32)
+    n = data.n
+    for i, ((row, col), t) in enumerate(data.cell_target.items()):
+        r = root[t]
+        s = slot_of_root.get(r)
+        if s is None:
+            s = len(roots_order)
+            slot_of_root[r] = s
+            roots_order.append(r)
+        cell_flat[i] = col * n + row
+        cell_slot[i] = s
+    tables = (roots_order, slot_of_root, cell_flat, cell_slot)
+    data.__dict__["_scatter"] = tables
+    return tables
+
+
+def witness_values_vector(data: CircuitData, values: dict) -> np.ndarray:
+    """The dense per-slot value vector the scatter path uploads."""
+    roots_order, _, _, _ = witness_scatter_tables(data)
+    out = np.zeros(len(roots_order), dtype=np.uint64)
+    for i, r in enumerate(roots_order):
+        v = values.get(r)
+        if v is not None:
+            out[i] = v
+    return out
+
+
+def public_inputs_from_values(data: CircuitData, values: dict) -> np.ndarray:
+    root = data.target_root
+    return np.array(
+        [values[root[t]] for t in data.public_input_targets], dtype=np.uint64
+    )
+
+
+def generate_witness(data: CircuitData, pw: PartialWitness, rng=None):
+    """Run generators to a fixpoint; returns (trace (num_wires, n), public_inputs)."""
+    values = run_generators(data, pw)
 
     cfg = data.config
     trace = np.zeros((cfg.num_wires, data.n), dtype=np.uint64)
+    root = data.target_root
     for (row, col), t in data.cell_target.items():
-        if t in values:
-            trace[col, row] = values[t]
+        r = root[t]
+        if r in values:
+            trace[col, row] = values[r]
     if cfg.zero_knowledge:
         rng = rng or np.random.default_rng()
         blind = F.rand_felts((cfg.num_wires, data.n - data.num_rows_used), rng)
         trace[:, data.num_rows_used :] = blind
-    pis = np.array(
-        [values[t] for t in data.public_input_targets], dtype=np.uint64
-    )
+    pis = public_inputs_from_values(data, values)
     return trace, pis

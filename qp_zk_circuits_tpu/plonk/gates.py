@@ -114,7 +114,7 @@ class HostExtCtx:
         return self.mul(self.mul(a4, a2), a)
 
     def felt(self, c: int):
-        return np.array([c % 0xFFFFFFFF00000001, 0], dtype=np.uint64)
+        return (c % 0xFFFFFFFF00000001, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -436,22 +436,47 @@ class Poseidon2Gate(Gate):
         )
 
     def fill_row(self, get, set_):
+        import numpy as np
+
+        ins_raw = [get(self.W_IN + i) for i in range(12)]
+        batched = isinstance(ins_raw[0], np.ndarray)
         nat = ps._native()
         if nat is not None:
-            import numpy as np
-
-            ins = np.array([int(get(self.W_IN + i)) for i in range(12)], dtype=np.uint64)
+            if batched:
+                # batched witness mode: (K,) value vectors -> (K, 12) states
+                ins = np.stack([np.asarray(v, np.uint64) for v in ins_raw], axis=-1)
+            else:
+                ins = np.array([int(v) for v in ins_raw], dtype=np.uint64).reshape(1, 12)
             ext_a, inter, ext_b, out = nat.permute_trace_batch(ins)
+
+            def emit(col, arr):  # arr: (K,) or (1,)
+                set_(col, arr if batched else int(arr[0]))
+
             for r in range(4):
                 for i in range(12):
-                    set_(self.W_EXT_A + 12 * r + i, int(ext_a[0, r, i]))
+                    emit(self.W_EXT_A + 12 * r + i, ext_a[:, r, i])
             for k in range(22):
-                set_(self.W_INT + k, int(inter[0, k]))
+                emit(self.W_INT + k, inter[:, k])
             for r in range(3):
                 for i in range(12):
-                    set_(self.W_EXT_B + 12 * r + i, int(ext_b[0, r, i]))
+                    emit(self.W_EXT_B + 12 * r + i, ext_b[:, r, i])
             for i in range(12):
-                set_(self.W_OUT + i, int(out[0, i]))
+                emit(self.W_OUT + i, out[:, i])
+            return
+        if batched:
+            # no native library: scalar loop per lane (correct, slow)
+            k = len(ins_raw[0])
+            cols = {}
+            for lane in range(k):
+                vals = {}
+                self.fill_row(
+                    lambda c, lane=lane, ins_raw=ins_raw: int(ins_raw[c][lane]),
+                    lambda c, v, vals=vals: vals.__setitem__(c, v),
+                )
+                for c, v in vals.items():
+                    cols.setdefault(c, np.zeros(k, np.uint64))[lane] = v
+            for c, arr in cols.items():
+                set_(c, arr)
             return
         # scalar Python-int path (the numpy tiny-state path costs ~16 ms/row)
         ext_rcs, int_rcs, diag = ps._int_constants()
@@ -559,8 +584,15 @@ class BaseSumGate(Gate):
         return gl.concat([bools, recomb.reshape(1, -1)], axis=0)
 
     def fill_row(self, get, set_):
+        import numpy as np
+
         v = get(0)
-        if v >> self.num_bits:
+        oversize = (
+            np.any(v >> np.uint64(self.num_bits))
+            if isinstance(v, np.ndarray)
+            else v >> self.num_bits
+        )
+        if oversize:
             # mirror the reference's BaseSplitGenerator panic: a range-checked
             # value that does not fit must fail at witness time, not produce
             # an unverifiable trace
@@ -568,4 +600,4 @@ class BaseSumGate(Gate):
                 f"range check failed: value {v} does not fit in {self.num_bits} bits"
             )
         for i in range(self.num_bits):
-            set_(1 + i, (v >> i) & 1)
+            set_(1 + i, (v >> np.uint64(i)) & 1 if isinstance(v, np.ndarray) else (v >> i) & 1)

@@ -198,14 +198,29 @@ def quotient_run(data: CircuitData):
     return run
 
 
+#: circuits up to this degree use the fused single-graph prover by default;
+#: larger circuits (the recursive aggregation layers) use the staged pipeline
+#: whose many small graphs compile incrementally and are REUSED across
+#: same-shaped circuits — the fused graph of a degree-2^15 recursion circuit
+#: costs tens of minutes of XLA compile for a one-shot prove.
+FUSED_DEGREE_BITS_MAX = 11
+
+
 def prove(data: CircuitData, pw: PartialWitness, seed: int | None = None) -> Proof:
-    """Prove. Default path is the fully-fused single-graph device prover
-    (`prover_fused.prove_fused`, one device->host transfer per proof); set
-    QZKT_STAGED_PROVER=1 to fall back to the staged multi-dispatch pipeline
-    below (bit-identical output, kept as the differential oracle)."""
+    """Prove. Small circuits (the leaf class) default to the fully-fused
+    single-graph device prover (`prover_fused.prove_fused`, one device->host
+    transfer per proof); large recursive circuits default to the staged
+    multi-dispatch pipeline (bit-identical output; far cheaper compiles).
+    Overrides: QZKT_STAGED_PROVER=1 forces staged, QZKT_FORCE_FUSED=1 forces
+    fused."""
     import os
 
-    if not os.environ.get("QZKT_STAGED_PROVER"):
+    use_fused = not os.environ.get("QZKT_STAGED_PROVER") and (
+        data.degree_bits <= FUSED_DEGREE_BITS_MAX
+        or os.environ.get("QZKT_FORCE_FUSED")
+        or "_fused" in data.__dict__  # graph already built/compiled
+    )
+    if use_fused:
         from .prover_fused import prove_fused
 
         return prove_fused(data, pw, seed)
@@ -368,33 +383,41 @@ def verify_vanishing_at_zeta(data, openings: OpeningSet, pi_hash, alphas, betas,
     nc = cfg.num_challenges
     nr = cfg.num_routed_wires
     alg = HostExtAlg()
-    wires = [openings.wires[i] for i in range(cfg.num_wires)]
-    constants_vals = [openings.constants[k] for k in range(openings.constants.shape[0])]
-    selector_vals = [openings.selectors[s] for s in range(data.num_selectors)]
-    sigma_vals = [openings.sigmas[i] for i in range(nr)]
-    zs = [openings.zs[c] for c in range(nc)]
-    zs_next = [openings.zs_next[c] for c in range(nc)]
+    # scalar host verification runs in the (int, int) tuple domain — pure
+    # Python-int arithmetic through the SAME shared ext ops / constraint
+    # definitions (the three-algebra invariant is the ctx, not the dtype)
+    tp = xt.pair
+    wires = [tp(openings.wires[i]) for i in range(cfg.num_wires)]
+    constants_vals = [tp(openings.constants[k]) for k in range(openings.constants.shape[0])]
+    selector_vals = [tp(openings.selectors[s]) for s in range(data.num_selectors)]
+    sigma_vals = [tp(openings.sigmas[i]) for i in range(nr)]
+    zs = [tp(openings.zs[c]) for c in range(nc)]
+    zs_next = [tp(openings.zs_next[c]) for c in range(nc)]
     npp = num_partial_products(nr, cfg.max_quotient_degree_factor)
-    pps = [[openings.pps[c * npp + j] for j in range(npp)] for c in range(nc)]
+    pps = [[tp(openings.pps[c * npp + j]) for j in range(npp)] for c in range(nc)]
     from .builder import coset_shifts
 
+    P = 0xFFFFFFFF00000001
+    zeta_t = tp(zeta)
     ks = coset_shifts(nr)
-    id_coords = [xt.scalar_mul(zeta.reshape(1, 2), np.uint64(k))[0] for k in ks]
+    id_coords = [xt.scalar_mul(zeta_t, int(k)) for k in ks]
     n = data.n
-    zeta_n = xt.pow_scalar(zeta.reshape(1, 2), n)[0]
-    zh = xt.sub(zeta_n, xt.ext(np.uint64(1)).reshape(2))
-    one = np.array([1, 0], dtype=np.uint64)
-    l1 = xt.mul(
-        zh.reshape(2),
-        xt.inv(
-            xt.scalar_mul(
-                xt.sub(zeta.reshape(1, 2), one.reshape(1, 2)), np.uint64(n)
-            )
-        )[0],
-    )
-    ctx = HostExtCtx(wires, constants_vals, [pi_hash_ext(pi_hash, i) for i in range(4)])
-    betas_e = [np.array([b, 0], dtype=np.uint64) for b in betas]
-    gammas_e = [np.array([g, 0], dtype=np.uint64) for g in gammas]
+    zeta_n = zeta_t
+    e = n
+    acc_p = (1, 0)
+    base = zeta_t
+    while e:
+        if e & 1:
+            acc_p = xt.mul(acc_p, base)
+        base = xt.mul(base, base)
+        e >>= 1
+    zeta_n = acc_p
+    one = (1, 0)
+    zh = xt.sub(zeta_n, one)
+    l1 = xt.mul(zh, xt.inv(xt.scalar_mul(xt.sub(zeta_t, one), n)))
+    ctx = HostExtCtx(wires, constants_vals, [(int(pi_hash[i]), 0) for i in range(4)])
+    betas_e = [(int(b), 0) for b in betas]
+    gammas_e = [(int(g), 0) for g in gammas]
     constraints = eval_constraints(
         ctx, data, wires, constants_vals, selector_vals, sigma_vals,
         zs, zs_next, pps, id_coords, l1, betas_e, gammas_e, alg,
@@ -402,19 +425,19 @@ def verify_vanishing_at_zeta(data, openings: OpeningSet, pi_hash, alphas, betas,
     qdf = cfg.max_quotient_degree_factor
     ok = True
     for c in range(nc):
-        acc = np.zeros(2, dtype=np.uint64)
-        apow = one.copy()
-        alpha_e = np.array([alphas[c], 0], dtype=np.uint64)
+        acc = (0, 0)
+        apow = one
+        alpha_e = (int(alphas[c]), 0)
         for cons in constraints:
             acc = xt.add(acc, xt.mul(apow, cons))
             apow = xt.mul(apow, alpha_e)
         # t_c(zeta) = sum_j zeta^{n j} t_{c,j}(zeta)
-        t = np.zeros(2, dtype=np.uint64)
-        zpow = one.copy()
+        t = (0, 0)
+        zpow = one
         for j in range(qdf):
-            t = xt.add(t, xt.mul(zpow, openings.quotient[c * qdf + j]))
+            t = xt.add(t, xt.mul(zpow, tp(openings.quotient[c * qdf + j])))
             zpow = xt.mul(zpow, zeta_n)
-        if not np.array_equal(acc, xt.mul(zh, t)):
+        if acc != xt.mul(zh, t):
             ok = False
     return ok
 

@@ -395,6 +395,16 @@ def _build_fused(data: CircuitData):
     # static salt sizes per oracle (wires, zs_pp, quotient)
     n_salt = SALT_SIZE if zk else 0
 
+    # non-ZK circuits upload only the distinct witness values; the trace is
+    # scattered on device (static index tables baked into the graph). ZK
+    # circuits keep the dense-trace upload: their blinding rows are host rng
+    # (bit-identity with the staged path).
+    if not zk:
+        from .builder import witness_scatter_tables
+
+        roots_order, _, cell_flat_np, cell_slot_np = witness_scatter_tables(data)
+        n_slots = len(roots_order)
+
     def fused(flat_in: GF, b):
         pk = _Packer()
 
@@ -410,7 +420,16 @@ def _build_fused(data: CircuitData):
             off += size
             return part
 
-        trace = take(nw * n, (nw, n))
+        if zk:
+            trace = take(nw * n, (nw, n))
+        else:
+            vals = take(n_slots, (n_slots,))
+            cell_slot = jnp.asarray(cell_slot_np)
+            cell_flat = jnp.asarray(cell_flat_np)
+            trace = GF(
+                jnp.zeros(nw * n, jnp.uint32).at[cell_flat].set(vals.lo[cell_slot]),
+                jnp.zeros(nw * n, jnp.uint32).at[cell_flat].set(vals.hi[cell_slot]),
+            ).reshape((nw, n))
         pi_hash = take(4, (4,))
         salts = [take(m * n_salt, (m, n_salt)) for _ in range(3)] if zk else [None] * 3
 
@@ -574,12 +593,13 @@ def _build_fused(data: CircuitData):
         ch.observe_many(_interleave_ext(final_poly))
 
         # PoW grind
-        # sweep size ~16x the expected try count: one sweep usually suffices,
-        # and small PoW budgets (tests, CPU dryruns) stay cheap
+        # sweep = the expected try count (2^pow_bits): E[sweeps] ~= 1.6, so
+        # expected grind work ~= 1.6x the minimum — half the cost of the old
+        # 2^(bits+1) sweeps; small PoW budgets (tests, CPU dryruns) stay cheap
         pow_w = _grind_j(
             ch,
             fcfg.proof_of_work_bits,
-            batch=1 << min(17, fcfg.proof_of_work_bits + 4),
+            batch=1 << min(16, fcfg.proof_of_work_bits),
         )
         pk.add("pow_witness", GF(pow_w.lo.reshape(1), pow_w.hi.reshape(1)))
         ch.observe(pow_w)
@@ -660,17 +680,32 @@ def _interleave_ext(arr: GF2) -> GF:
 
 
 def _flat_input(data: CircuitData, pw: PartialWitness, rng, meta) -> tuple:
-    """Host side of one proof: witness trace + PI hash + salts, flattened in
-    the order the fused graph unpacks them. Returns (flat_u64, public_inputs)."""
+    """Host side of one proof: witness values (+ salts for ZK), flattened in
+    the order the fused graph unpacks them. Returns (flat_u64, public_inputs).
+
+    Non-ZK circuits ship only the distinct witness values (the device
+    scatters the trace); ZK circuits ship the dense blinded trace."""
+    if not data.config.zero_knowledge:
+        from .builder import (
+            public_inputs_from_values,
+            run_generators,
+            witness_values_vector,
+        )
+
+        values = run_generators(data, pw)
+        vals = witness_values_vector(data, values)
+        pis = public_inputs_from_values(data, values)
+        pi_hash = ps.hash_no_pad(pis)
+        return np.concatenate([vals, np.asarray(pi_hash)]), pis
+
     trace, pis = generate_witness(data, pw, rng)
     pi_hash = ps.hash_no_pad(pis)
     parts = [np.asarray(trace, dtype=np.uint64).ravel(), np.asarray(pi_hash)]
-    if meta["n_salt"]:
-        # same salt-draw order as the staged prover: one seeded stream per
-        # oracle, drawn wires -> zs_pp -> quotient
-        for _ in range(3):
-            salt_rng = np.random.default_rng(int(rng.integers(0, 2**63)))
-            parts.append(F.rand_felts((meta["m"], meta["n_salt"]), salt_rng).ravel())
+    # same salt-draw order as the staged prover: one seeded stream per
+    # oracle, drawn wires -> zs_pp -> quotient
+    for _ in range(3):
+        salt_rng = np.random.default_rng(int(rng.integers(0, 2**63)))
+        parts.append(F.rand_felts((meta["m"], meta["n_salt"]), salt_rng).ravel())
     return np.concatenate(parts), pis
 
 
@@ -738,6 +773,39 @@ def _unpack_proof(data: CircuitData, flat_out: np.ndarray, layout, meta, pis) ->
     )
 
 
+def _batch_flat_inputs(data: CircuitData, pws: list, rng, meta):
+    """(K, in_len) stacked fused-graph inputs + per-proof public inputs.
+    Non-ZK circuits use the batched witness engine (ONE fixpoint pass for
+    all K proofs); ZK circuits fall back to per-proof generation (their
+    blinding/salt rng draws are per-proof streams)."""
+    if not data.config.zero_knowledge:
+        import os
+
+        if os.environ.get("QZKT_BATCH_WITNESS"):
+            # numpy-vectorized engine: one fixpoint for all K proofs. Wins
+            # only at large K (numpy per-op overhead ~ scalar ints x 30);
+            # the scalar record-and-replay path below is faster for K <~ 48.
+            from .builder import witness_batch_inputs
+
+            vals, pis_arr = witness_batch_inputs(data, pws)
+            pi_hashes = np.stack(
+                [ps.hash_no_pad(pis_arr[i]) for i in range(len(pws))]
+            )
+            return np.concatenate([vals, pi_hashes], axis=1), list(pis_arr)
+        flats, pis_list = [], []
+        for pw in pws:
+            flat, pis = _flat_input(data, pw, rng, None)
+            flats.append(flat)
+            pis_list.append(pis)
+        return np.stack(flats), pis_list
+    flats, pis_list = [], []
+    for pw in pws:
+        flat, pis = _flat_input(data, pw, rng, meta)
+        flats.append(flat)
+        pis_list.append(pis)
+    return np.stack(flats), pis_list
+
+
 def prove_fused_batch(
     data: CircuitData, pws: list, seed: int | None = None
 ) -> list:
@@ -766,12 +834,7 @@ def prove_fused_batch(
         data.__dict__["_fused"] = cache
     fused_jit, layout, bundle, meta = cache
 
-    flats, pis_list = [], []
-    for pw in pws:
-        flat, pis = _flat_input(data, pw, rng, meta)
-        flats.append(flat)
-        pis_list.append(pis)
-    flat_in = np.stack(flats)  # (K, in_len)
+    flat_in, pis_list = _batch_flat_inputs(data, pws, rng, meta)
 
     batch_cache = data.__dict__.setdefault("_fused_batch", {})
     k = len(pws)
@@ -786,6 +849,54 @@ def prove_fused_batch(
         _unpack_proof(data, flat_out[i], layout, meta, pis_list[i])
         for i in range(k)
     ]
+
+
+def prove_fused_stream(
+    data: CircuitData, pws: list, batch: int, seed: int | None = None
+) -> list:
+    """Sustained-throughput proving: split `pws` into `batch`-sized chunks
+    and PIPELINE them — host witness generation of chunk i+1 overlaps the
+    device execution of chunk i (JAX dispatch is asynchronous; only the
+    result fetch blocks). Steady-state cost per chunk is
+    max(host_witness, device_compute + transfer) instead of their sum."""
+    import jax
+
+    cfg = data.config
+    assert cfg.max_quotient_degree_factor == (1 << cfg.rate_bits)
+    assert len(pws) % batch == 0, "stream length must tile the batch size"
+    rng = np.random.default_rng(seed)
+
+    cache = data.__dict__.get("_fused")
+    if cache is None:
+        cache = _build_fused(data)
+        data.__dict__["_fused"] = cache
+    fused_jit, layout, bundle, meta = cache
+    batch_cache = data.__dict__.setdefault("_fused_batch", {})
+    vfused = batch_cache.get(batch)
+    if vfused is None:
+        vfused = jax.jit(jax.vmap(fused_jit, in_axes=(0, None)))
+        batch_cache[batch] = vfused
+
+    proofs: list = []
+    pending = None  # (device output, pis_list) of the in-flight chunk
+
+    def drain(p):
+        out_dev, pis_list = p
+        flat_out = gl.to_u64(out_dev)  # blocks on the device
+        proofs.extend(
+            _unpack_proof(data, flat_out[i], layout, meta, pis_list[i])
+            for i in range(len(pis_list))
+        )
+
+    for start in range(0, len(pws), batch):
+        chunk = pws[start : start + batch]
+        flat_in, pis_list = _batch_flat_inputs(data, chunk, rng, meta)
+        out_dev = vfused(gl.from_u64(flat_in), bundle)  # async dispatch
+        if pending is not None:
+            drain(pending)
+        pending = (out_dev, pis_list)
+    drain(pending)
+    return proofs
 
 
 def prove_fused(data: CircuitData, pw: PartialWitness, seed: int | None = None) -> Proof:

@@ -81,9 +81,20 @@ def ext_inverse(b: CircuitBuilder, x: ExtTarget) -> ExtTarget:
 
     def gen(get, x=x):
         x0, x1 = get(x[0]), get(x[1])
-        norm = (x0 * x0 - W * x1 * x1) % P
-        ninv = pow(norm, P - 2, P)
-        return [(x0 * ninv) % P, (P - x1) * ninv % P]
+        if type(x0) is int:
+            norm = (x0 * x0 - W * x1 * x1) % P
+            ninv = pow(norm, P - 2, P)
+            return [(x0 * ninv) % P, (P - x1) * ninv % P]
+        # batched witness mode: (K,) uint64 vectors through field helpers
+        import numpy as np
+
+        from ..field import gf_np as F
+
+        x0 = np.asarray(x0, np.uint64)
+        x1 = np.asarray(x1, np.uint64)
+        norm = F.sub(F.mul(x0, x0), F.mul(np.uint64(W), F.mul(x1, x1)))
+        ninv = F.inv(norm)
+        return [F.mul(x0, ninv), F.mul(F.neg(x1), ninv)]
 
     b._simple_generator([x[0], x[1]], gen, [inv[0], inv[1]])
     prod = ext_mul(b, x, inv)

@@ -59,3 +59,18 @@ class WormholeProver:
             fill_witness(pw, inputs, self.targets)
             pws.append(pw)
         return plonk_prover.prove_batch(self.data, pws, seed=seed)
+
+    def prove_inputs_stream(self, inputs_list, batch: int = 16, seed: int | None = None):
+        """Sustained-throughput proving: pipeline `batch`-sized chunks so
+        host witness generation overlaps device execution (the deployment
+        shape for miner-side leaf proving)."""
+        from ..plonk.prover_fused import prove_fused_stream
+
+        pws = []
+        for inputs in inputs_list:
+            if len(inputs.private.siblings) > MAX_DEPTH:
+                raise ValueError("proof depth exceeds MAX_DEPTH")
+            pw = PartialWitness()
+            fill_witness(pw, inputs, self.targets)
+            pws.append(pw)
+        return prove_fused_stream(self.data, pws, batch, seed=seed)
