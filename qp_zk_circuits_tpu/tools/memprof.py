@@ -109,13 +109,27 @@ def rebalance_query_rounds(rate_bits: int, pow_bits: int) -> int:
     return max(1, -(-need // rate_bits))
 
 
-def run_workload(n_leaf_proofs: int, profiler: Profiler, seed: int = 0):
+def run_workload(
+    n_leaf_proofs: int,
+    profiler: Profiler,
+    seed: int = 0,
+    include_public_batch: bool = False,
+    config=None,
+):
     """Phases mirror the reference workload: build leaf / generate N leaf
-    proofs / build aggregation / commit+prove (workload.rs:1-144)."""
+    proofs / build aggregation / commit+prove (workload.rs:1-144); optional
+    public-batch layer on top. The private-batch circuit is built at the
+    FULL width N (dummy padding fills the empty slots at commit)."""
+    import numpy as np
+
     from ..plonk.serialization import VerifierCircuitData
     from ..wormhole import test_helpers as th
     from ..wormhole.dummy_proof import generate_dummy_proof
-    from ..wormhole.private_batch import PrivateBatchCircuit, PrivateBatchProver
+    from ..wormhole.private_batch import (
+        PrivateBatchCircuit,
+        PrivateBatchProver,
+        generate_dummy_private_batch_proof,
+    )
     from ..wormhole.prover import WormholeProver
     from ..wormhole.verifier import WormholeVerifier
 
@@ -130,15 +144,31 @@ def run_workload(n_leaf_proofs: int, profiler: Profiler, seed: int = 0):
         proofs = proofs[:2]
     with profiler.phase("build private-batch circuit"):
         common = VerifierCircuitData.from_circuit_data(leaf_prover.data)
-        agg_circuit = PrivateBatchCircuit(common, max(2, min(n_leaf_proofs, 2)))
+        agg_circuit = PrivateBatchCircuit(common, n_leaf_proofs, config=config)
         dummy = generate_dummy_proof(leaf_prover, seed=seed)
         agg_prover = PrivateBatchProver(
             agg_circuit, WormholeVerifier(leaf_prover.data), dummy
         )
     with profiler.phase("commit + prove private batch"):
-        import numpy as np
+        agg = agg_prover.aggregate(proofs, seed=seed, rng=np.random.default_rng(seed))
+    if include_public_batch:
+        from functools import partial
 
-        agg_prover.aggregate(proofs, seed=seed, rng=np.random.default_rng(seed))
+        from ..plonk.verifier import verify as plonk_verify
+        from ..wormhole import inputs as wi
+        from ..wormhole.public_batch import PublicBatchCircuit, PublicBatchProver
+
+        with profiler.phase("prove dummy private batch (padding template)"):
+            dummy_pb = generate_dummy_private_batch_proof(agg_circuit, dummy, seed=seed)
+        with profiler.phase("build public-batch circuit"):
+            pb_common = VerifierCircuitData.from_circuit_data(agg_circuit.data)
+            pub_circuit = PublicBatchCircuit(pb_common, 2, n_leaf_proofs)
+            pub_prover = PublicBatchProver(
+                pub_circuit, partial(plonk_verify, agg_circuit.data), dummy_pb
+            )
+        with profiler.phase("commit + prove public batch"):
+            addr = wi.BytesDigest(bytes(range(1, 33)))
+            pub = pub_prover.commit([agg], addr).prove(seed=seed)
     return profiler
 
 
