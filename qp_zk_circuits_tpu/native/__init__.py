@@ -23,7 +23,7 @@ from pathlib import Path
 import numpy as np
 
 _HERE = Path(__file__).resolve().parent
-_SRC = _HERE / "poseidon2.c"
+_SRCS = (_HERE / "poseidon2.c", _HERE / "fri_verify.c")
 _SO = _HERE / "_poseidon2.so"
 
 _lock = threading.Lock()
@@ -33,7 +33,8 @@ _tried = False
 
 def _build() -> Path | None:
     cc = os.environ.get("CC", "cc")
-    cmd = [cc, "-O3", "-funroll-loops", "-shared", "-fPIC", "-o", str(_SO), str(_SRC)]
+    cmd = [cc, "-O3", "-funroll-loops", "-shared", "-fPIC", "-o", str(_SO)]
+    cmd += [str(s) for s in _SRCS]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return _SO
@@ -47,7 +48,10 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        so = _SO if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime else _build()
+        fresh = _SO.exists() and all(
+            _SO.stat().st_mtime >= s.stat().st_mtime for s in _SRCS
+        )
+        so = _SO if fresh else _build()
         if so is None or not Path(so).exists():
             return None
         lib = ctypes.CDLL(str(so))
@@ -61,6 +65,22 @@ def _load():
         lib.p2_merkle_walk.argtypes = [
             u64p, ctypes.c_uint64, u64p, ctypes.c_size_t, u64p,
         ]
+        lib.fri_verify_queries.restype = ctypes.c_int64
+        lib.fri_verify_queries.argtypes = (
+            [ctypes.c_uint64] * 2                       # lde_bits, n_rounds
+            + [u64p, ctypes.c_uint64, ctypes.c_uint64]  # schedule, n_layers, n_oracles
+            + [u64p, u64p, ctypes.c_uint64]             # widths, caps, cap_height
+            + [ctypes.c_uint64] + [u64p] * 7            # n_batches .. betas
+            + [u64p, ctypes.c_uint64, u64p]             # final_poly, final_len, commit_caps
+            + [ctypes.c_uint64] * 2                     # g, w0
+            + [u64p] * 5                                # indices, rows, sibs, leaves, step sibs
+        )
+        lib.p2_absorb_many.restype = ctypes.c_int64
+        lib.p2_absorb_many.argtypes = [u64p, u64p, ctypes.c_int64, u64p, ctypes.c_uint64]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.eval_tape.argtypes = [u8p, u32p, u32p, ctypes.c_uint64, u64p,
+                                  ctypes.c_uint64, u64p]
 
         from ..hash import poseidon2 as ps
 
@@ -140,6 +160,96 @@ def merkle_walk(leaf_digest: np.ndarray, index: int, siblings: np.ndarray) -> np
     out = np.empty(4, dtype=np.uint64)
     lib.p2_merkle_walk(_ptr(leaf), int(index), _ptr(sibs), sibs.shape[0], _ptr(out))
     return out
+
+
+def fri_verify_queries(
+    lde_bits: int,
+    schedule: np.ndarray,
+    oracle_widths: np.ndarray,
+    oracle_caps: np.ndarray,
+    cap_height: int,
+    batch_sizes: np.ndarray,
+    batch_points: np.ndarray,
+    poly_oi: np.ndarray,
+    poly_pj: np.ndarray,
+    openings: np.ndarray,
+    alpha: np.ndarray,
+    betas: np.ndarray,
+    final_poly: np.ndarray,
+    commit_caps: np.ndarray,
+    g: int,
+    w0: int,
+    indices: np.ndarray,
+    initial_rows: np.ndarray,
+    initial_sibs: np.ndarray,
+    step_leaves: np.ndarray,
+    step_sibs: np.ndarray,
+) -> int:
+    """All FRI query rounds in one compiled call. Returns 0 on success, else
+    (code << 32) | (round << 16) | sub — see fri_verify.c. All arrays must be
+    contiguous uint64; shapes must already be validated (check_proof_shape)."""
+    lib = _load()
+    assert lib is not None
+    a = lambda x: np.ascontiguousarray(x, dtype=np.uint64)  # noqa: E731
+    arrs = dict(
+        schedule=a(schedule), widths=a(oracle_widths), caps=a(oracle_caps),
+        bsizes=a(batch_sizes), bpoints=a(batch_points), poly_oi=a(poly_oi),
+        poly_pj=a(poly_pj), openings=a(openings), alpha=a(alpha), betas=a(betas),
+        final=a(final_poly), ccaps=a(commit_caps), idx=a(indices),
+        rows=a(initial_rows), isibs=a(initial_sibs), leaves=a(step_leaves),
+        ssibs=a(step_sibs),
+    )
+    return int(
+        lib.fri_verify_queries(
+            int(lde_bits), len(arrs["idx"]),
+            _ptr(arrs["schedule"]), len(arrs["schedule"]), len(arrs["widths"]),
+            _ptr(arrs["widths"]), _ptr(arrs["caps"]), int(cap_height),
+            len(arrs["bsizes"]), _ptr(arrs["bsizes"]), _ptr(arrs["bpoints"]),
+            _ptr(arrs["poly_oi"]), _ptr(arrs["poly_pj"]), _ptr(arrs["openings"]),
+            _ptr(arrs["alpha"]), _ptr(arrs["betas"]),
+            _ptr(arrs["final"]), arrs["final"].size // 2, _ptr(arrs["ccaps"]),
+            int(g), int(w0),
+            _ptr(arrs["idx"]), _ptr(arrs["rows"]), _ptr(arrs["isibs"]),
+            _ptr(arrs["leaves"]), _ptr(arrs["ssibs"]),
+        )
+    )
+
+
+def eval_tape(tape, inputs: np.ndarray) -> np.ndarray:
+    """Evaluate a ConstraintTape on an input vector (n_inputs, 2) -> the
+    tape's output nodes as (n_out, 2) uint64."""
+    lib = _load()
+    assert lib is not None
+    inputs = np.ascontiguousarray(inputs, dtype=np.uint64).reshape(-1, 2)
+    assert inputs.shape[0] == tape.n_inputs
+    n_ops = tape.ops.size
+    values = np.empty((tape.n_inputs + n_ops, 2), dtype=np.uint64)
+    values[: tape.n_inputs] = inputs
+    lib.eval_tape(
+        tape.ops.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        tape.ia.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        tape.ib.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        n_ops,
+        _ptr(tape.pool),
+        tape.n_inputs,
+        _ptr(values),
+    )
+    return values[tape.out_ids]
+
+
+def absorb_many(state: np.ndarray, buf: list, felts: np.ndarray) -> tuple[np.ndarray, list]:
+    """Duplex-sponge absorption of a felt vector (overwrite mode): returns the
+    updated 12-lane state and leftover input buffer."""
+    lib = _load()
+    assert lib is not None
+    st = np.ascontiguousarray(state, dtype=np.uint64).copy()
+    b = np.zeros(8, dtype=np.uint64)
+    k = len(buf)
+    if k:
+        b[:k] = buf
+    arr = np.ascontiguousarray(felts, dtype=np.uint64).ravel()
+    k2 = int(lib.p2_absorb_many(_ptr(st), _ptr(b), k, _ptr(arr), arr.size))
+    return st, [np.uint64(v) for v in b[:k2]]
 
 
 def two_to_one_many(left: np.ndarray, right: np.ndarray) -> np.ndarray:

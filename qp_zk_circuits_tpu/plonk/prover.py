@@ -374,7 +374,86 @@ def _intt_dev():
 
 
 def verify_vanishing_at_zeta(data, openings: OpeningSet, pi_hash, alphas, betas, gammas, zeta):
-    """Host check: alpha-combined constraints at zeta == Z_H(zeta)*t(zeta)."""
+    """Host check: alpha-combined constraints at zeta == Z_H(zeta)*t(zeta).
+
+    Fast path: the recorded constraint tape evaluated in one compiled call
+    (plonk/constraint_tape.py — mechanically derived from the SAME shared
+    definitions). The pure-Python walk below remains the differential oracle."""
+    from ..hash.poseidon2 import _native
+
+    nat = _native()
+    if nat is not None:
+        return _verify_vanishing_taped(data, openings, pi_hash, alphas, betas, gammas, zeta, nat)
+    return _verify_vanishing_pure(data, openings, pi_hash, alphas, betas, gammas, zeta)
+
+
+def _verify_vanishing_taped(data, openings, pi_hash, alphas, betas, gammas, zeta, nat):
+    from ..field import extension as xt
+    from .builder import coset_shifts
+    from .constraint_tape import get_tape
+
+    P = 0xFFFFFFFF00000001
+    cfg = data.config
+    nc = cfg.num_challenges
+    nr = cfg.num_routed_wires
+    tape = get_tape(data)
+    s = tape.slices
+    inp = np.zeros((s["_total"][1], 2), dtype=np.uint64)
+
+    def put(name, arr):
+        st, cnt = s[name]
+        a = np.asarray(arr, dtype=np.uint64).reshape(cnt, -1)
+        if a.shape[1] == 1:  # base-field scalars embed as (v, 0)
+            inp[st : st + cnt, 0] = a[:, 0]
+        else:
+            inp[st : st + cnt] = a
+
+    put("wires", openings.wires)
+    put("constants", openings.constants)
+    put("selectors", openings.selectors)
+    put("sigmas", openings.sigmas)
+    put("zs", openings.zs)
+    put("zs_next", openings.zs_next)
+    put("pps", openings.pps)
+    ks = np.asarray(coset_shifts(nr), dtype=np.uint64)
+    idc = np.empty((nr, 2), dtype=np.uint64)
+    idc[:, 0] = F.mul(ks, np.uint64(zeta[0]))
+    idc[:, 1] = F.mul(ks, np.uint64(zeta[1]))
+    put("id_coords", idc)
+
+    zeta_t = xt.pair(zeta)
+    one = (1, 0)
+    n = data.n
+    zeta_n, base, e = one, zeta_t, n
+    while e:
+        if e & 1:
+            zeta_n = xt.mul(zeta_n, base)
+        base = xt.mul(base, base)
+        e >>= 1
+    zh = xt.sub(zeta_n, one)
+    l1 = xt.mul(zh, xt.inv(xt.scalar_mul(xt.sub(zeta_t, one), n)))
+    put("l1", np.array([l1], dtype=np.uint64))
+    put("betas", np.asarray(betas, dtype=np.uint64))
+    put("gammas", np.asarray(gammas, dtype=np.uint64))
+    put("alphas", np.asarray(alphas, dtype=np.uint64))
+    put("pi_hash", np.asarray(pi_hash, dtype=np.uint64)[:4])
+
+    acc = nat.eval_tape(tape, inp)  # (nc, 2)
+
+    qdf = cfg.max_quotient_degree_factor
+    tp = xt.pair
+    for c in range(nc):
+        t = (0, 0)
+        zpow = one
+        for j in range(qdf):
+            t = xt.add(t, xt.mul(zpow, tp(openings.quotient[c * qdf + j])))
+            zpow = xt.mul(zpow, zeta_n)
+        if (int(acc[c, 0]), int(acc[c, 1])) != xt.mul(zh, t):
+            return False
+    return True
+
+
+def _verify_vanishing_pure(data, openings: OpeningSet, pi_hash, alphas, betas, gammas, zeta):
     from ..field import extension as xt
     from .gates import HostExtCtx
     from .vanishing import HostExtAlg

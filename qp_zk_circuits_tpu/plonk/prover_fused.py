@@ -852,18 +852,26 @@ def prove_fused_batch(
 
 
 def prove_fused_stream(
-    data: CircuitData, pws: list, batch: int, seed: int | None = None
+    data: CircuitData, pws, batch: int, seed: int | None = None, total: int | None = None
 ) -> list:
     """Sustained-throughput proving: split `pws` into `batch`-sized chunks
-    and PIPELINE them — host witness generation of chunk i+1 overlaps the
-    device execution of chunk i (JAX dispatch is asynchronous; only the
-    result fetch blocks). Steady-state cost per chunk is
-    max(host_witness, device_compute + transfer) instead of their sum."""
+    and PIPELINE them — host-side work for chunk i+1 (witness generation when
+    `pws` is a lazy iterator, input packing, and the previous chunk's proof
+    unpacking) overlaps the device execution of chunk i (JAX dispatch is
+    asynchronous; only the result fetch blocks). Steady-state cost per chunk
+    is max(host_work, device_compute + transfer) instead of their sum.
+
+    `pws` may be a list or any iterable (e.g. a generator that fills
+    witnesses on demand); its length must tile `batch` (`total` sizes the
+    check for iterators)."""
+    import itertools
+
     import jax
 
     cfg = data.config
     assert cfg.max_quotient_degree_factor == (1 << cfg.rate_bits)
-    assert len(pws) % batch == 0, "stream length must tile the batch size"
+    n_total = total if total is not None else len(pws)
+    assert n_total % batch == 0, "stream length must tile the batch size"
     rng = np.random.default_rng(seed)
 
     cache = data.__dict__.get("_fused")
@@ -888,8 +896,10 @@ def prove_fused_stream(
             for i in range(len(pis_list))
         )
 
-    for start in range(0, len(pws), batch):
-        chunk = pws[start : start + batch]
+    it = iter(pws)
+    for _ in range(n_total // batch):
+        chunk = list(itertools.islice(it, batch))  # lazy witness fills run HERE,
+        # while the previous chunk is still executing on device
         flat_in, pis_list = _batch_flat_inputs(data, chunk, rng, meta)
         out_dev = vfused(gl.from_u64(flat_in), bundle)  # async dispatch
         if pending is not None:

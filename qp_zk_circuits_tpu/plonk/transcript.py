@@ -33,7 +33,22 @@ class Challenger:
             self._duplex()
 
     def observe_many(self, felts) -> None:
-        for f in np.asarray(felts, dtype=np.uint64).ravel():
+        arr = np.asarray(felts, dtype=np.uint64).ravel()
+        if arr.size == 0:
+            return
+        nat = ps._native()
+        if nat is not None and arr.size >= 16:
+            # batched duplex absorption in C; replicate observe()'s output-buf
+            # rule: it is non-empty only when the LAST felt completed a block
+            self.output_buf.clear()
+            before = len(self.input_buf)
+            self.state, self.input_buf = nat.absorb_many(
+                self.state, self.input_buf, arr
+            )
+            if not self.input_buf and (before + arr.size) % ps.RATE == 0:
+                self.output_buf = list(self.state[: ps.RATE])
+            return
+        for f in arr:
             self.observe(f)
 
     def observe_ext(self, ext_val) -> None:

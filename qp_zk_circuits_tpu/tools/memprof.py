@@ -178,6 +178,15 @@ def main(argv=None):
     ap.add_argument("--peak-target-mb", type=float, default=None, help="CI guard: fail if exceeded")
     ap.add_argument("--rate-bits", type=int, default=3)
     ap.add_argument("--pow-bits", type=int, default=16)
+    ap.add_argument("--num-routed-wires", type=int, default=None,
+                    help="override routed wires of the private-batch config")
+    ap.add_argument("--canonical", action="store_true",
+                    help="run the canonical ZK private-batch profile "
+                    "(135/60 wires, 28 queries, 16 PoW — the reference's "
+                    "wormhole_private_batch_circuit_config)")
+    ap.add_argument("--include-public-batch", action="store_true")
+    ap.add_argument("--json", action="store_true",
+                    help="emit one BENCH-style JSON line after the table")
     ap.add_argument(
         "--allow-weakening-security",
         action="store_true",
@@ -195,9 +204,62 @@ def main(argv=None):
         )
         return 2
 
+    config = None
+    if args.canonical:
+        from ..utils.config_policy import wormhole_private_batch_circuit_config
+
+        config = wormhole_private_batch_circuit_config()
+    if args.num_routed_wires is not None or not args.canonical:
+        # non-canonical runs honor the sweep knobs (reference memprof/config.rs)
+        import dataclasses as dc
+
+        from ..fri.config import FriConfig, FriReductionStrategy
+        from ..utils.config_policy import wormhole_private_batch_circuit_config
+
+        base = config or wormhole_private_batch_circuit_config()
+        fri = FriConfig(
+            rate_bits=args.rate_bits,
+            cap_height=base.fri_config.cap_height,
+            proof_of_work_bits=args.pow_bits,
+            num_query_rounds=rounds,
+            reduction_strategy=FriReductionStrategy(4, 5),
+        )
+        config = dc.replace(
+            base,
+            num_routed_wires=args.num_routed_wires or base.num_routed_wires,
+            fri_config=base.fri_config if args.canonical else fri,
+        )
+
     prof = Profiler()
-    run_workload(args.num_leaf_proofs, prof)
+    run_workload(
+        args.num_leaf_proofs,
+        prof,
+        include_public_batch=args.include_public_batch,
+        config=config,
+    )
     print(prof.report())
+    if args.json:
+        import json
+
+        agg_phase = next(
+            (p for p in prof.phases if p.name.startswith("commit + prove private")), None
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "private_batch_prove_s",
+                    "value": round(agg_phase.wall_secs, 3) if agg_phase else None,
+                    "unit": "s",
+                    "n_leaf": args.num_leaf_proofs,
+                    "config": "canonical-zk" if args.canonical else "sweep",
+                    "peak_mb": round(prof.peak_mb, 1),
+                    "phases": {
+                        p.name: [round(p.wall_secs, 3), round(p.peak_mb, 1)]
+                        for p in prof.phases
+                    },
+                }
+            )
+        )
     if args.peak_target_mb is not None and prof.peak_mb > args.peak_target_mb:
         print(
             f"FAIL: peak RSS {prof.peak_mb:.1f} MB exceeds target {args.peak_target_mb} MB",

@@ -89,6 +89,11 @@ def build_private_batch_constraints(
         fee_ref = b.select(take, limb1(i, wi.VOLUME_FEE_BPS_INDEX), fee_ref)
         found_real = b.or_(found_real, is_real)
 
+    # `asset_id` must match across every slot INCLUDING dummies — the
+    # reference binds slot 0's asset unconditionally (circuit_logic.rs:202,
+    # :274), keeping the historical rule that dummy padding is only
+    # compatible with native-asset (asset_id = 0) batches; the prover
+    # preflight enforces that before padding.
     asset_ref = limb1(0, wi.ASSET_ID_INDEX)
     num_exit_slots_t = b.constant(2 * n_leaf)
     output_pis = [num_exit_slots_t, asset_ref, fee_ref]

@@ -63,14 +63,18 @@ class WormholeProver:
     def prove_inputs_stream(self, inputs_list, batch: int = 16, seed: int | None = None):
         """Sustained-throughput proving: pipeline `batch`-sized chunks so
         host witness generation overlaps device execution (the deployment
-        shape for miner-side leaf proving)."""
+        shape for miner-side leaf proving). Witness fills are lazy — chunk
+        i+1's fills run while chunk i executes on device."""
         from ..plonk.prover_fused import prove_fused_stream
 
-        pws = []
-        for inputs in inputs_list:
-            if len(inputs.private.siblings) > MAX_DEPTH:
-                raise ValueError("proof depth exceeds MAX_DEPTH")
-            pw = PartialWitness()
-            fill_witness(pw, inputs, self.targets)
-            pws.append(pw)
-        return prove_fused_stream(self.data, pws, batch, seed=seed)
+        def pw_gen():
+            for inputs in inputs_list:
+                if len(inputs.private.siblings) > MAX_DEPTH:
+                    raise ValueError("proof depth exceeds MAX_DEPTH")
+                pw = PartialWitness()
+                fill_witness(pw, inputs, self.targets)
+                yield pw
+
+        return prove_fused_stream(
+            self.data, pw_gen(), batch, seed=seed, total=len(inputs_list)
+        )
