@@ -33,13 +33,23 @@ _tried = False
 
 def _build() -> Path | None:
     cc = os.environ.get("CC", "cc")
-    cmd = [cc, "-O3", "-funroll-loops", "-shared", "-fPIC", "-o", str(_SO)]
-    cmd += [str(s) for s in _SRCS]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return _SO
-    except Exception:
-        return None
+    base = ["-O3", "-funroll-loops", "-shared", "-fPIC", "-o", str(_SO)]
+    srcs = [str(s) for s in _SRCS]
+    # The .so is built per-host (never committed), so host-tuned codegen is
+    # safe; -fopenmp fans the query rounds / batched hashes across cores.
+    # Drop extras one at a time for toolchains that lack them.
+    for extras in (["-march=native", "-fopenmp"], ["-fopenmp"], []):
+        try:
+            subprocess.run(
+                [cc, *base, *extras, *srcs],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            return _SO
+        except Exception:
+            continue
+    return None
 
 
 def _load():

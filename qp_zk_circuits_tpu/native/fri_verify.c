@@ -137,6 +137,130 @@ static int verify_row_c(const uint64_t *cap, uint64_t cap_entries,
 #define MAX_ORACLES 8
 #define MAX_ARITY 64
 
+/* Everything a single query round needs, precomputed once. Rounds are
+ * mutually independent (each re-opens its own Merkle paths and walks its own
+ * fold chain), so the round loop parallelises without any sharing. */
+typedef struct {
+    uint64_t lde_bits, n_layers, n_oracles, n_batches, cap_height;
+    uint64_t final_len, g, w0, half_inv;
+    uint64_t row_stride, sibs_stride, leaves_stride, stepsibs_stride;
+    uint64_t sib_len_init;
+    const uint64_t *schedule, *oracle_widths, *oracle_caps, *commit_caps;
+    const uint64_t *batch_sizes, *batch_points, *poly_oi, *poly_pj;
+    const uint64_t *openings, *betas, *final_poly;
+    const uint64_t *indices, *initial_rows, *initial_sibs;
+    const uint64_t *step_leaves, *step_sibs;
+    const ext_t *apows;
+    const uint64_t *layer_mp_bits, *layer_cap_h;
+    const uint64_t *layer_leaf_off, *layer_sib_off, *layer_cap_off;
+    const uint64_t *cap_off_oracle, *row_off;
+} vq_ctx;
+
+static int64_t verify_one_round(const vq_ctx *c, uint64_t r) {
+    uint64_t q0 = c->indices[r];
+    const uint64_t *rows = c->initial_rows + r * c->row_stride;
+    const uint64_t *sibs = c->initial_sibs + r * c->sibs_stride;
+    const uint64_t *leaves = c->step_leaves + r * c->leaves_stride;
+    const uint64_t *ssibs = c->step_sibs + r * c->stepsibs_stride;
+
+    /* 1. initial tree openings */
+    {
+        uint64_t off = 0;
+        for (uint64_t o = 0; o < c->n_oracles; o++) {
+            if (!verify_row_c(c->oracle_caps + c->cap_off_oracle[o],
+                              1ULL << c->cap_height, rows + off,
+                              c->oracle_widths[o], q0,
+                              sibs + o * c->sib_len_init * 4, c->sib_len_init))
+                return err(1, r, o);
+            off += c->oracle_widths[o];
+        }
+    }
+
+    /* 2. recompute the composition value Q(x) from the opened rows */
+    uint64_t x = f_mul(c->g, f_pow(c->w0, q0));
+    ext_t qval = {0, 0};
+    {
+        uint64_t term = 0;
+        for (uint64_t b = 0; b < c->n_batches; b++) {
+            ext_t sb = {0, 0}, cb = {0, 0};
+            for (uint64_t k = 0; k < c->batch_sizes[b]; k++, term++) {
+                uint64_t v =
+                    rows[c->row_off[c->poly_oi[term]] + c->poly_pj[term]];
+                sb = e_add(sb, e_scalar(c->apows[term], v));
+                cb = e_add(cb, e_mul(c->apows[term], e_load(c->openings + 2 * term)));
+            }
+            ext_t num = e_sub(sb, cb);
+            ext_t z = e_load(c->batch_points + 2 * b);
+            ext_t xz = {f_sub(x, z.c0), f_sub(0, z.c1)};
+            qval = e_add(qval, e_mul(num, e_inv(xz)));
+        }
+    }
+
+    /* 3. fold walk */
+    ext_t cur = qval;
+    uint64_t q = q0;
+    uint64_t m_bits = c->lde_bits;
+    for (uint64_t l = 0; l < c->n_layers; l++) {
+        uint64_t a_bits = c->schedule[l];
+        uint64_t arity = 1ULL << a_bits;
+        uint64_t mp_bits = c->layer_mp_bits[l];
+        uint64_t j = q >> mp_bits;
+        uint64_t q_next = q & ((1ULL << mp_bits) - 1);
+        const uint64_t *leaf = leaves + c->layer_leaf_off[l];
+        if (!e_eq(e_load(leaf + 2 * j), cur)) return err(2, r, l);
+        uint64_t sib_levels = mp_bits - c->layer_cap_h[l];
+        if (!verify_row_c(c->commit_caps + c->layer_cap_off[l],
+                          1ULL << c->layer_cap_h[l], leaf, arity * 2, q_next,
+                          ssibs + c->layer_sib_off[l], sib_levels))
+            return err(3, r, l);
+        /* fold the arity group down to one value: element k sits at
+         * global index q_next + k*2^mp_bits in the size-2^m_bits domain,
+         * i.e. at x_q * gamma^k with gamma = w_cur^(2^mp_bits). */
+        uint64_t k_shift = c->lde_bits - m_bits;
+        uint64_t w_cur = f_pow(c->w0, 1ULL << k_shift);
+        uint64_t x_q =
+            f_mul(f_pow(c->g, 1ULL << k_shift), f_pow(w_cur, q_next));
+        uint64_t gamma = f_pow(w_cur, 1ULL << mp_bits);
+        ext_t vals[MAX_ARITY];
+        uint64_t pts[MAX_ARITY];
+        for (uint64_t k = 0; k < arity; k++) {
+            vals[k] = e_load(leaf + 2 * k);
+            pts[k] = k == 0 ? x_q : f_mul(pts[k - 1], gamma);
+        }
+        ext_t beta = e_load(c->betas + 2 * l);
+        uint64_t len = arity;
+        while (len > 1) {
+            uint64_t half = len >> 1;
+            for (uint64_t k = 0; k < half; k++) {
+                ext_t vs = e_add(vals[k], vals[k + half]);
+                ext_t vd = e_sub(vals[k], vals[k + half]);
+                uint64_t inv_p = f_inv(pts[k]);
+                ext_t t = e_scalar(e_mul(vd, beta), inv_p);
+                vals[k] = e_scalar(e_add(vs, t), c->half_inv);
+                pts[k] = f_mul(pts[k], pts[k]);
+            }
+            beta = e_mul(beta, beta);
+            len = half;
+        }
+        cur = vals[0];
+        q = q_next;
+        m_bits = mp_bits;
+    }
+
+    /* 4. final polynomial evaluation (Horner) */
+    uint64_t k_shift = c->lde_bits - m_bits;
+    uint64_t x_final =
+        f_mul(f_pow(c->g, 1ULL << k_shift),
+              f_pow(f_pow(c->w0, 1ULL << k_shift), q));
+    ext_t acc = {0, 0};
+    for (uint64_t k = c->final_len; k > 0; k--) {
+        acc = e_scalar(acc, x_final);
+        acc = e_add(acc, e_load(c->final_poly + 2 * (k - 1)));
+    }
+    if (!e_eq(acc, cur)) return err(4, r, 0);
+    return 0;
+}
+
 /* Verify all FRI query rounds. Shapes are pre-validated by
  * plonk/verifier.py::check_proof_shape; this kernel trusts them.
  * Returns 0 on success, an err() code on the first failure. */
@@ -214,114 +338,53 @@ int64_t fri_verify_queries(
 
     uint64_t half_inv = f_inv(2);
 
-    for (uint64_t r = 0; r < n_rounds; r++) {
-        uint64_t q0 = indices[r];
-        const uint64_t *rows = initial_rows + r * row_stride;
-        const uint64_t *sibs = initial_sibs + r * sibs_stride;
-        const uint64_t *leaves = step_leaves + r * leaves_stride;
-        const uint64_t *ssibs = step_sibs + r * stepsibs_stride;
+    uint64_t row_off[MAX_ORACLES];
+    row_off[0] = 0;
+    for (uint64_t o = 1; o < n_oracles; o++)
+        row_off[o] = row_off[o - 1] + oracle_widths[o - 1];
 
-        /* 1. initial tree openings */
-        {
-            uint64_t off = 0;
-            for (uint64_t o = 0; o < n_oracles; o++) {
-                if (!verify_row_c(oracle_caps + cap_off_oracle[o],
-                                  1ULL << cap_height, rows + off,
-                                  oracle_widths[o], q0,
-                                  sibs + o * sib_len_init * 4, sib_len_init))
-                    return err(1, r, o);
-                off += oracle_widths[o];
+    vq_ctx ctx = {
+        .lde_bits = lde_bits, .n_layers = n_layers, .n_oracles = n_oracles,
+        .n_batches = n_batches, .cap_height = cap_height,
+        .final_len = final_len, .g = g, .w0 = w0, .half_inv = half_inv,
+        .row_stride = row_stride, .sibs_stride = sibs_stride,
+        .leaves_stride = leaves_stride, .stepsibs_stride = stepsibs_stride,
+        .sib_len_init = sib_len_init,
+        .schedule = schedule, .oracle_widths = oracle_widths,
+        .oracle_caps = oracle_caps, .commit_caps = commit_caps,
+        .batch_sizes = batch_sizes, .batch_points = batch_points,
+        .poly_oi = poly_oi, .poly_pj = poly_pj, .openings = openings,
+        .betas = betas, .final_poly = final_poly, .indices = indices,
+        .initial_rows = initial_rows, .initial_sibs = initial_sibs,
+        .step_leaves = step_leaves, .step_sibs = step_sibs,
+        .apows = apows,
+        .layer_mp_bits = layer_mp_bits, .layer_cap_h = layer_cap_h,
+        .layer_leaf_off = layer_leaf_off, .layer_sib_off = layer_sib_off,
+        .layer_cap_off = layer_cap_off,
+        .cap_off_oracle = cap_off_oracle, .row_off = row_off,
+    };
+
+    /* rounds are independent; verify them in parallel and report the
+     * error of the LOWEST-numbered failing round so the result (success
+     * or exact failure code) is identical to the serial walk. */
+    int64_t result = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+    for (int64_t r = 0; r < (int64_t)n_rounds; r++) {
+        int64_t e = verify_one_round(&ctx, (uint64_t)r);
+        if (e) {
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+            {
+                uint64_t r_new = (uint64_t)((e >> 16) & 0xFFFF);
+                uint64_t r_old = (uint64_t)((result >> 16) & 0xFFFF);
+                if (result == 0 || r_new < r_old) result = e;
             }
         }
-
-        /* 2. recompute the composition value Q(x) from the opened rows */
-        uint64_t x = f_mul(g, f_pow(w0, q0));
-        ext_t qval = {0, 0};
-        {
-            uint64_t term = 0;
-            uint64_t row_off[MAX_ORACLES];
-            row_off[0] = 0;
-            for (uint64_t o = 1; o < n_oracles; o++)
-                row_off[o] = row_off[o - 1] + oracle_widths[o - 1];
-            for (uint64_t b = 0; b < n_batches; b++) {
-                ext_t sb = {0, 0}, cb = {0, 0};
-                for (uint64_t k = 0; k < batch_sizes[b]; k++, term++) {
-                    uint64_t v =
-                        rows[row_off[poly_oi[term]] + poly_pj[term]];
-                    sb = e_add(sb, e_scalar(apows[term], v));
-                    cb = e_add(cb, e_mul(apows[term], e_load(openings + 2 * term)));
-                }
-                ext_t num = e_sub(sb, cb);
-                ext_t z = e_load(batch_points + 2 * b);
-                ext_t xz = {f_sub(x, z.c0), f_sub(0, z.c1)};
-                qval = e_add(qval, e_mul(num, e_inv(xz)));
-            }
-        }
-
-        /* 3. fold walk */
-        ext_t cur = qval;
-        uint64_t q = q0;
-        uint64_t m_bits = lde_bits;
-        for (uint64_t l = 0; l < n_layers; l++) {
-            uint64_t a_bits = schedule[l];
-            uint64_t arity = 1ULL << a_bits;
-            uint64_t mp_bits = layer_mp_bits[l];
-            uint64_t j = q >> mp_bits;
-            uint64_t q_next = q & ((1ULL << mp_bits) - 1);
-            const uint64_t *leaf = leaves + layer_leaf_off[l];
-            if (!e_eq(e_load(leaf + 2 * j), cur)) return err(2, r, l);
-            uint64_t sib_levels = mp_bits - layer_cap_h[l];
-            if (!verify_row_c(commit_caps + layer_cap_off[l],
-                              1ULL << layer_cap_h[l], leaf, arity * 2, q_next,
-                              ssibs + layer_sib_off[l], sib_levels))
-                return err(3, r, l);
-            /* fold the arity group down to one value: element k sits at
-             * global index q_next + k*2^mp_bits in the size-2^m_bits domain,
-             * i.e. at x_q * gamma^k with gamma = w_cur^(2^mp_bits). */
-            uint64_t k_shift = lde_bits - m_bits;
-            uint64_t w_cur = f_pow(w0, 1ULL << k_shift);
-            uint64_t x_q =
-                f_mul(f_pow(g, 1ULL << k_shift), f_pow(w_cur, q_next));
-            uint64_t gamma = f_pow(w_cur, 1ULL << mp_bits);
-            ext_t vals[MAX_ARITY];
-            uint64_t pts[MAX_ARITY];
-            for (uint64_t k = 0; k < arity; k++) {
-                vals[k] = e_load(leaf + 2 * k);
-                pts[k] = k == 0 ? x_q : f_mul(pts[k - 1], gamma);
-            }
-            ext_t beta = e_load(betas + 2 * l);
-            uint64_t len = arity;
-            while (len > 1) {
-                uint64_t half = len >> 1;
-                for (uint64_t k = 0; k < half; k++) {
-                    ext_t vs = e_add(vals[k], vals[k + half]);
-                    ext_t vd = e_sub(vals[k], vals[k + half]);
-                    uint64_t inv_p = f_inv(pts[k]);
-                    ext_t t = e_scalar(e_mul(vd, beta), inv_p);
-                    vals[k] = e_scalar(e_add(vs, t), half_inv);
-                    pts[k] = f_mul(pts[k], pts[k]);
-                }
-                beta = e_mul(beta, beta);
-                len = half;
-            }
-            cur = vals[0];
-            q = q_next;
-            m_bits = mp_bits;
-        }
-
-        /* 4. final polynomial evaluation (Horner) */
-        uint64_t k_shift = lde_bits - m_bits;
-        uint64_t x_final =
-            f_mul(f_pow(g, 1ULL << k_shift),
-                  f_pow(f_pow(w0, 1ULL << k_shift), q));
-        ext_t acc = {0, 0};
-        for (uint64_t c = final_len; c > 0; c--) {
-            acc = e_scalar(acc, x_final);
-            acc = e_add(acc, e_load(final_poly + 2 * (c - 1)));
-        }
-        if (!e_eq(acc, cur)) return err(4, r, 0);
     }
-    return 0;
+    return result;
 }
 
 /* ---- linear op-tape evaluator (plonk/constraint_tape.py) ----

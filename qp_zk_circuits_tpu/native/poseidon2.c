@@ -120,8 +120,13 @@ void p2_set_constants(const uint64_t *ext_rcs /* 8*12 */,
     for (int i = 0; i < 16; i++) M4[i / 4][i % 4] = m4[i];
 }
 
-/* n states of 12 lanes, permuted in place. */
+/* n states of 12 lanes, permuted in place. States are independent; large
+ * batches (witness fills, Merkle levels) fan out across cores. The cutoff
+ * keeps tiny transcript duplexes serial (thread wake-up >> one permute). */
 void p2_permute_batch(uint64_t *states, size_t n) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (n >= 64)
+#endif
     for (size_t k = 0; k < n; k++) permute_one(states + WIDTH * k);
 }
 
@@ -134,6 +139,9 @@ void p2_permute_batch(uint64_t *states, size_t n) {
  * in: n x 12 input states (the gate's W_IN row); all buffers caller-owned. */
 void p2_permute_trace_batch(const uint64_t *in, size_t n, uint64_t *ext_a,
                             uint64_t *inter, uint64_t *ext_b, uint64_t *out) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (n >= 32)
+#endif
     for (size_t kk = 0; kk < n; kk++) {
         uint64_t x[WIDTH];
         for (int i = 0; i < WIDTH; i++) x[i] = in[kk * WIDTH + i];
@@ -186,6 +194,9 @@ void p2_hash_no_pad(const uint64_t *in, size_t len, uint64_t *digest) {
  * in is n rows of `len` felts; digests is n rows of 4. */
 void p2_hash_no_pad_many(const uint64_t *in, size_t n, size_t len,
                          uint64_t *digests) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (n >= 16)
+#endif
     for (size_t k = 0; k < n; k++)
         p2_hash_no_pad(in + k * len, len, digests + 4 * k);
 }
@@ -218,6 +229,9 @@ void p2_merkle_walk(const uint64_t *leaf /* 4 */, uint64_t index,
 /* Merkle 2-to-1 compression, batched: left/right/out are n rows of 4. */
 void p2_two_to_one_many(const uint64_t *left, const uint64_t *right, size_t n,
                         uint64_t *out) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (n >= 64)
+#endif
     for (size_t k = 0; k < n; k++) {
         uint64_t st[WIDTH] = {0};
         for (int i = 0; i < 4; i++) {
