@@ -264,8 +264,29 @@ def exp7(a: GF) -> GF:
 
 
 def inv(a: GF) -> GF:
-    """Fermat inverse a^(p-2); inv(0) = 0. ~100 muls, use sparingly on device."""
-    return pow_const(a, 0xFFFFFFFF00000001 - 2)
+    """Fermat inverse a^(p-2); inv(0) = 0.
+
+    Square-and-multiply as a `lax.fori_loop` over the 64 exponent bits (one
+    mul + one sqr in the body) rather than an unrolled chain: the unrolled
+    form put ~190 full u32-pair multiply graphs (~50k HLO ops) inline, which
+    sent XLA-CPU's algebraic simplifier into pathological/circular
+    simplification on the fused prover graph and made `jit(inv)` itself
+    minutes-slow to compile. The loop body is traced once; runtime cost on
+    TPU is unchanged (the op count is identical, just sequenced)."""
+    import jax
+    import jax.numpy as jnp
+
+    e = 0xFFFFFFFF00000001 - 2
+    bits = jnp.asarray([(e >> i) & 1 for i in range(e.bit_length())], dtype=_u32)
+
+    def body(i, carry):
+        acc, base = carry
+        take = bits[i] == 1
+        acc = select(take, mul(acc, base), acc)
+        return acc, sqr(base)
+
+    acc, _ = jax.lax.fori_loop(0, int(e.bit_length()), body, (ones(a.shape), a))
+    return acc
 
 
 def stack(elems, axis=0) -> GF:

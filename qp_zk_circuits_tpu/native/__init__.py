@@ -24,7 +24,32 @@ import numpy as np
 
 _HERE = Path(__file__).resolve().parent
 _SRCS = (_HERE / "poseidon2.c", _HERE / "fri_verify.c")
-_SO = _HERE / "_poseidon2.so"
+
+
+def _so_path() -> Path:
+    """Host-tagged cache name: -march=native codegen must never be loaded on
+    a different CPU (shared/NFS checkout, copied venv) — SIGILL instead of a
+    fallback (ADVICE r2). platform.machine() + the CPU model name hash tag
+    the binary to the host class that built it."""
+    import hashlib
+    import platform
+
+    model = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    tag = hashlib.sha256(
+        (platform.machine() + "|" + model).encode()
+    ).hexdigest()[:12]
+    return _HERE / f"_poseidon2_{tag}.so"
+
+
+_SO = _so_path()
 
 _lock = threading.Lock()
 _lib = None
@@ -32,24 +57,38 @@ _tried = False
 
 
 def _build() -> Path | None:
+    # Compile to a unique temp file in the same directory and os.replace()
+    # into place: two processes importing concurrently can never CDLL a
+    # partially-written .so (ADVICE r2).
+    import tempfile
+
     cc = os.environ.get("CC", "cc")
-    base = ["-O3", "-funroll-loops", "-shared", "-fPIC", "-o", str(_SO)]
     srcs = [str(s) for s in _SRCS]
+    fd, tmp = tempfile.mkstemp(suffix=".so", prefix="_p2_build_", dir=str(_HERE))
+    os.close(fd)
+    base = ["-O3", "-funroll-loops", "-shared", "-fPIC", "-o", tmp]
     # The .so is built per-host (never committed), so host-tuned codegen is
     # safe; -fopenmp fans the query rounds / batched hashes across cores.
     # Drop extras one at a time for toolchains that lack them.
-    for extras in (["-march=native", "-fopenmp"], ["-fopenmp"], []):
+    try:
+        for extras in (["-march=native", "-fopenmp"], ["-fopenmp"], []):
+            try:
+                subprocess.run(
+                    [cc, *base, *extras, *srcs],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+                os.replace(tmp, _SO)  # atomic publish
+                return _SO
+            except (subprocess.SubprocessError, OSError):
+                continue
+        return None
+    finally:
         try:
-            subprocess.run(
-                [cc, *base, *extras, *srcs],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-            return _SO
-        except Exception:
-            continue
-    return None
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def _load():

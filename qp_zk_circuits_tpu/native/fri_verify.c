@@ -290,6 +290,10 @@ int64_t fri_verify_queries(
     const uint64_t *step_sibs     /* rounds x sum(sib_len_l * 4) */
 ) {
     if (n_layers > MAX_LAYERS || n_oracles > MAX_ORACLES) return err(9, 0, 0);
+    /* the round field of err() is 16 bits; more rounds would make the
+     * "lowest failing round" merge below ambiguous (capacity, not a real
+     * limit: canonical configs use 28-100 rounds) */
+    if (n_rounds > 0xFFFF) return err(9, 0, 2);
 
     uint64_t total_terms = 0;
     for (uint64_t b = 0; b < n_batches; b++) total_terms += batch_sizes[b];

@@ -62,14 +62,19 @@ def batch_commit_step(traces: GF, rate_bits: int, cap_height: int):
 def sharded_prove_batch(data, mesh: Mesh, pws: list, seed: int | None = None) -> list:
     """The REAL prover, data-parallel over the mesh's "proofs" axis.
 
-    This is `prover_fused.prove_fused_batch` — the complete post-witness
-    pipeline (trace LDE, Poseidon2 Merkle commits, permutation argument,
-    quotient, FRI commit/fold, PoW grind, query gathers) as ONE SPMD graph —
-    jitted with the proof axis sharded across chips and the per-circuit
-    bundle replicated. XLA partitions every per-proof op with zero
-    collectives (the lanes are independent), so throughput scales linearly
-    with the "proofs" axis; proofs are bit-identical to the single-device
-    batch path (pinned in tests/test_sharding.py)."""
+    This runs `prover_fused`'s complete post-witness pipeline (trace LDE,
+    Poseidon2 Merkle commits, permutation argument, quotient, FRI
+    commit/fold, PoW grind, query gathers) under `jax.shard_map`: each
+    device vmaps the fused graph over its LOCAL slice of the proof axis.
+
+    shard_map (manual partitioning) rather than jit+NamedSharding (GSPMD) is
+    deliberate: the lanes are fully independent, so the partitioning is
+    trivially exact, and handing the un-annotated local program straight to
+    XLA avoids the SPMD partitioner on the very large fused graph — round-2's
+    GSPMD path sent XLA-CPU's algebraic simplifier into a circular
+    simplification loop on the partitioned module (MULTICHIP_r02 timeout).
+    Proofs are bit-identical to the single-device batch path (pinned in
+    tests/test_sharding.py)."""
     import jax
 
     from ..plonk.prover_fused import (
@@ -96,12 +101,18 @@ def sharded_prove_batch(data, mesh: Mesh, pws: list, seed: int | None = None) ->
     cache2 = data.__dict__.setdefault("_fused_batch", {})
     vfused = cache2.get(key)
     if vfused is None:
-        batch_spec = NamedSharding(mesh, P("proofs"))
-        repl = NamedSharding(mesh, P())
-        bundle_shard = jax.tree_util.tree_map(lambda _: repl, bundle)
+
+        def local_prove(flat_local: GF, b):
+            return jax.vmap(fused_jit, in_axes=(0, None))(flat_local, b)
+
         vfused = jax.jit(
-            jax.vmap(fused_jit, in_axes=(0, None)),
-            in_shardings=(GF(batch_spec, batch_spec), bundle_shard),
+            jax.shard_map(
+                local_prove,
+                mesh=mesh,
+                in_specs=(P("proofs"), P()),
+                out_specs=P("proofs"),
+                check_vma=False,
+            )
         )
         cache2[key] = vfused
 

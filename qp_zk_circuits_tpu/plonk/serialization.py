@@ -252,6 +252,84 @@ class VerifierCircuitData:
         w.arr(self.circuit_digest)
         return w.bytes_()
 
+    # -- split artifact views (reference separates VerifierOnlyCircuitData
+    #    from CommonCircuitData — `wormhole/verifier/src/lib.rs:199-204`) ----
+
+    def to_common_bytes(self) -> bytes:
+        """CommonCircuitData view: config + degree + gate set + column layout
+        + PI count. No cap, no digest — those are the VerifierOnly view."""
+        w = Writer()
+        w.buf.write(MAGIC)
+        w.u32(VERSION + 200)  # common-data format tag
+        write_config(w, self.config)
+        w.u32(self.degree_bits)
+        w.u32(len(self.gate_types))
+        for g in self.gate_types:
+            w.string(g.key())
+        w.u32(self.num_selectors)
+        w.u32(self.num_const_cols)
+        w.u32(self.num_public_inputs)
+        return w.bytes_()
+
+    def to_verifier_only_bytes(self) -> bytes:
+        """VerifierOnlyCircuitData view: constants-oracle cap + circuit
+        digest (the digest binds the full identity across both views)."""
+        w = Writer()
+        w.buf.write(MAGIC)
+        w.u32(VERSION + 300)  # verifier-only format tag
+        w.arr(self.constants_cap)
+        w.arr(self.circuit_digest)
+        return w.bytes_()
+
+    @classmethod
+    def from_artifact_bytes(
+        cls, verifier_only: bytes, common: bytes, max_len: int = 1 << 20
+    ) -> "VerifierCircuitData":
+        """Rebuild from the (verifier.bin, common.bin) artifact pair. The
+        recomputed circuit digest binds the two views together: swapping
+        either against a different circuit's artifact fails."""
+        r = Reader(common, max_len=max_len)
+        if r._read(4) != MAGIC:
+            raise SerializationError("bad magic (common data)")
+        if r.u32() != VERSION + 200:
+            raise SerializationError("unsupported common-data version")
+        cfg = read_config(r)
+        degree_bits = r.u32()
+        if degree_bits > 30:
+            raise SerializationError("degree_bits too large")
+        n_gates = r.u32()
+        if n_gates > 64:
+            raise SerializationError("too many gate types")
+        gates = [gate_from_key(r.string()) for _ in range(n_gates)]
+        num_selectors = r.u32()
+        num_const_cols = r.u32()
+        num_pis = r.u32()
+        r.expect_end()
+
+        r2 = Reader(verifier_only, max_len=max_len)
+        if r2._read(4) != MAGIC:
+            raise SerializationError("bad magic (verifier-only data)")
+        if r2.u32() != VERSION + 300:
+            raise SerializationError("unsupported verifier-only version")
+        cap = r2.arr()
+        digest = r2.arr()
+        r2.expect_end()
+        if cap.shape != (1 << cfg.fri_config.cap_height, 4):
+            raise SerializationError("malformed constants cap")
+        if digest.shape != (4,):
+            raise SerializationError("malformed circuit digest")
+        from .builder import compute_circuit_digest
+
+        expect = compute_circuit_digest(
+            cap, cfg, degree_bits, [g.key() for g in gates],
+            num_selectors, num_const_cols, num_pis,
+        )
+        if not np.array_equal(expect, digest):
+            raise SerializationError(
+                "circuit digest does not bind the verifier/common artifact pair"
+            )
+        return cls(cfg, degree_bits, gates, num_selectors, num_const_cols, cap, digest, num_pis)
+
     @classmethod
     def from_bytes(cls, data: bytes, max_len: int = 1 << 20) -> "VerifierCircuitData":
         r = Reader(data, max_len=max_len)

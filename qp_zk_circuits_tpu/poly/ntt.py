@@ -235,26 +235,29 @@ def ntt_sharded(values: GF, mesh, axis: str = "cols", inverse: bool = False) -> 
     values: GF (N,) laid out in contiguous blocks of N/D per device. Returns
     natural-order evaluations with the same block layout. Bit-identical to
     `ntt_j` (pinned in tests/test_sharding.py). Requires D | N/D."""
+    import functools
+
     import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
 
     n = values.shape[-1]
     n_dev = mesh.shape[axis]
     assert (n // n_dev) % n_dev == 0, "need D | N/D for the transpose algorithm"
     tw = gl.from_u64(sharded_twiddles(n, n_dev, inverse))
 
-    import functools
-
     body = functools.partial(
         _ntt_shard_body, axis=axis, n_dev=n_dev, inverse=inverse
     )
-    fn = shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis, None)),
-        out_specs=P(axis),
+    fn = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis, None)),
+            out_specs=P(axis),
+            check_vma=False,
+        )
     )
     # NOTE: no extra 1/N here — the inverse sub-NTTs already scale by
     # 1/L and 1/D, which compose to exactly 1/N.
-    return fn(values, tw)
+    with jax.set_mesh(mesh):
+        return fn(values, tw)

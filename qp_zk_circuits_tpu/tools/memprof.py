@@ -136,12 +136,14 @@ def run_workload(
     with profiler.phase("build leaf circuit"):
         leaf_prover = WormholeProver()
     with profiler.phase(f"generate {n_leaf_proofs} leaf proofs"):
-        i0, i1 = th.two_real_leaves_same_block()
-        proofs = []
-        for k in range(n_leaf_proofs):
-            proofs.append(leaf_prover.prove_inputs(i0 if k % 2 == 0 else i1, seed=seed + k))
-        # only distinct nullifiers can batch; keep the two distinct fixtures
-        proofs = proofs[:2]
+        # N DISTINCT real spends sharing one block/root: every generated
+        # proof is batch-admissible (distinct nullifiers), so the private
+        # batch below aggregates the FULL width — no padding, no discards
+        all_inputs = th.n_real_leaves_same_block(n_leaf_proofs)
+        proofs = [
+            leaf_prover.prove_inputs(all_inputs[k], seed=seed + k)
+            for k in range(n_leaf_proofs)
+        ]
     with profiler.phase("build private-batch circuit"):
         common = VerifierCircuitData.from_circuit_data(leaf_prover.data)
         agg_circuit = PrivateBatchCircuit(common, n_leaf_proofs, config=config)

@@ -120,8 +120,8 @@ def generate_leaf_circuit_binaries(out_dir: Path, prover=None, seed: int = 0) ->
 
     prover = prover or WormholeProver()
     vdata = VerifierCircuitData.from_circuit_data(prover.data)
-    common_bytes = vdata.to_bytes()  # config + gates + layout
-    verifier_bytes = vdata.to_bytes()  # lean view equals common in our engine
+    common_bytes = vdata.to_common_bytes()  # config + gates + layout + PI count
+    verifier_bytes = vdata.to_verifier_only_bytes()  # constants cap + digest
     dummy = generate_dummy_proof(prover, seed=seed)
     dummy_bytes = proof_to_bytes(dummy)
 
@@ -138,17 +138,21 @@ def generate_leaf_circuit_binaries(out_dir: Path, prover=None, seed: int = 0) ->
 
 
 def load_canonical_leaf_verifier_data(bins_dir: Path, rebuild=None) -> VerifierCircuitData:
-    """Load verifier.bin and pin it by RAW-BYTE equality against a from-source
-    rebuild — untrusted common data is never deserialized before the pin
-    (poisoned-length rationale, reference `utils.rs:126-158`)."""
+    """Load verifier.bin + common.bin and pin BOTH by RAW-BYTE equality
+    against a from-source rebuild — untrusted common data is never
+    deserialized before the pin (poisoned-length rationale, reference
+    `utils.rs:126-158`)."""
     from .leaf_circuit import WormholeCircuit
 
-    loaded = read_artifact_file(Path(bins_dir) / LEAF_VERIFIER_BIN, MAX_VERIFIER_ARTIFACT_BYTES)
+    bins_dir = Path(bins_dir)
+    loaded_v = read_artifact_file(bins_dir / LEAF_VERIFIER_BIN, MAX_VERIFIER_ARTIFACT_BYTES)
+    loaded_c = read_artifact_file(bins_dir / LEAF_COMMON_BIN, MAX_VERIFIER_ARTIFACT_BYTES)
     if rebuild is None:
         rebuild = VerifierCircuitData.from_circuit_data(WormholeCircuit().build())
-    canonical = rebuild.to_bytes()
-    if loaded != canonical:
+    if loaded_v != rebuild.to_verifier_only_bytes():
         raise ArtifactError("verifier.bin does not match canonical from-source rebuild")
+    if loaded_c != rebuild.to_common_bytes():
+        raise ArtifactError("common.bin does not match canonical from-source rebuild")
     return rebuild
 
 
@@ -199,16 +203,17 @@ def generate_private_batch_circuit_binaries(
         enforce_security_floor=enforce_security_floor,
     )
     vdata = VerifierCircuitData.from_circuit_data(circuit.data)
-    common_bytes = vdata.to_bytes()
+    common_bytes = vdata.to_common_bytes()
+    verifier_bytes = vdata.to_verifier_only_bytes()
     dummy_pb = generate_dummy_private_batch_proof(circuit, dummy_leaf, seed=seed)
     dummy_pb_bytes = proof_to_bytes(dummy_pb)
 
     (out_dir / PRIVATE_BATCH_COMMON_BIN).write_bytes(common_bytes)
-    (out_dir / PRIVATE_BATCH_VERIFIER_BIN).write_bytes(common_bytes)
+    (out_dir / PRIVATE_BATCH_VERIFIER_BIN).write_bytes(verifier_bytes)
     (out_dir / DUMMY_PRIVATE_BATCH_PROOF_BIN).write_bytes(dummy_pb_bytes)
     return circuit, {
         PRIVATE_BATCH_COMMON_BIN: artifact_keccak(common_bytes),
-        PRIVATE_BATCH_VERIFIER_BIN: artifact_keccak(common_bytes),
+        PRIVATE_BATCH_VERIFIER_BIN: artifact_keccak(verifier_bytes),
         DUMMY_PRIVATE_BATCH_PROOF_BIN: artifact_keccak(dummy_pb_bytes),
     }
 
@@ -231,24 +236,31 @@ def generate_public_batch_circuit_binaries(
         private_batch_vdata, num_private_batch_proofs, num_leaf_proofs, config=config
     )
     vdata = VerifierCircuitData.from_circuit_data(circuit.data)
-    common_bytes = vdata.to_bytes()
+    common_bytes = vdata.to_common_bytes()
+    verifier_bytes = vdata.to_verifier_only_bytes()
     (out_dir / PUBLIC_BATCH_COMMON_BIN).write_bytes(common_bytes)
-    (out_dir / PUBLIC_BATCH_VERIFIER_BIN).write_bytes(common_bytes)
+    (out_dir / PUBLIC_BATCH_VERIFIER_BIN).write_bytes(verifier_bytes)
     return circuit, {
         PUBLIC_BATCH_COMMON_BIN: artifact_keccak(common_bytes),
-        PUBLIC_BATCH_VERIFIER_BIN: artifact_keccak(common_bytes),
+        PUBLIC_BATCH_VERIFIER_BIN: artifact_keccak(verifier_bytes),
     }
 
 
 def _load_pinned_agg_verifier_data(
-    bins_dir: Path, name: str, rebuild: VerifierCircuitData
+    bins_dir: Path, verifier_name: str, common_name: str,
+    rebuild: VerifierCircuitData,
 ) -> VerifierCircuitData:
-    """Raw-byte pin of an aggregation-layer artifact against a from-source
-    rebuild (reference `utils.rs:126-158`): the untrusted bytes are never
-    deserialized — load fails unless they equal the canonical serialization."""
-    loaded = read_artifact_file(Path(bins_dir) / name, MAX_AGG_ARTIFACT_BYTES)
-    if loaded != rebuild.to_bytes():
-        raise ArtifactError(f"{name} does not match canonical from-source rebuild")
+    """Raw-byte pin of an aggregation-layer artifact pair against a
+    from-source rebuild (reference `utils.rs:126-158`): the untrusted bytes
+    are never deserialized — load fails unless both files equal the
+    canonical serializations."""
+    bins_dir = Path(bins_dir)
+    loaded_v = read_artifact_file(bins_dir / verifier_name, MAX_AGG_ARTIFACT_BYTES)
+    if loaded_v != rebuild.to_verifier_only_bytes():
+        raise ArtifactError(f"{verifier_name} does not match canonical from-source rebuild")
+    loaded_c = read_artifact_file(bins_dir / common_name, MAX_AGG_ARTIFACT_BYTES)
+    if loaded_c != rebuild.to_common_bytes():
+        raise ArtifactError(f"{common_name} does not match canonical from-source rebuild")
     return rebuild
 
 

@@ -14,12 +14,14 @@ Serialization here is deterministic (little-endian u64 arrays, no maps —
 
 # keccak256(verifier.bin) for the canonical leaf profile
 # (wormhole_leaf_circuit_config: 135 wires, 80 routed, 28 queries, 16 PoW).
+# verifier.bin is the VerifierOnly view (constants cap + circuit digest).
 CANONICAL_LEAF_VERIFIER_KECCAK256: str | None = (
-    "e2c3e925dee7d5c8871557bbd1edbf63871e007faf065af807329e8fa75e86f7"
+    "bdc1178a27ac011b4803650badb24029e065b9ae5e6a0bd8422272dd734e20ca"
 )
 
-# keccak256(common.bin); in this engine the lean verifier view serves both
-# roles so the two pins coincide (documented deviation — PARITY.md).
+# keccak256(common.bin): the Common view (config + degree + gate set +
+# column layout + PI count) — a distinct artifact, as in the reference
+# (`wormhole/verifier/src/lib.rs:199-204`).
 CANONICAL_LEAF_COMMON_KECCAK256: str | None = (
-    "e2c3e925dee7d5c8871557bbd1edbf63871e007faf065af807329e8fa75e86f7"
+    "e466c584896dd26bdee74ee8a3152ccfd1b0130be6f8a91862d7bf75aa8d1b01"
 )

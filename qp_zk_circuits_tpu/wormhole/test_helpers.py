@@ -98,11 +98,60 @@ def two_real_leaves_same_block(asset_id: int = 0):
 
     Returns (inputs_0, inputs_1): full constraint coverage — Merkle walk,
     fee, nullifier and header bindings all active."""
-    leaf0, account0, secret0 = leaf_data(0, asset_id)
-    leaf1, account1, secret1 = leaf_data(1, asset_id)
-    filler2 = sz.digest_to_bytes(np.array([11, 12, 13, 14], dtype=np.uint64))
-    filler3 = sz.digest_to_bytes(np.array([21, 22, 23, 24], dtype=np.uint64))
-    tree = zm.ZkMerkleTree([leaf0, leaf1, filler2, filler3])
+    return n_real_leaves_same_block(2, asset_id)
+
+
+def _derived_secret(i: int) -> Secret:
+    """Deterministic distinct secrets: fixtures 0/1 are the reference's two
+    canonical secrets; i >= 2 derives fresh ones by hashing the index (the
+    reference only ships two — `test-helpers/src/lib.rs:18-40` — because its
+    full-width batches use the fake-leaf backend; ours prove REAL leaves)."""
+    if i < len(DEFAULT_SECRETS):
+        return Secret.from_hex(DEFAULT_SECRETS[i])
+    import hashlib
+
+    buf = bytearray(hashlib.sha256(b"qzkt-fixture-secret-%d" % i).digest())
+    for k in range(4):
+        buf[8 * k + 7] &= 0x7F  # clear each limb's top bit -> canonical (< p)
+    return Secret(bytes(buf))
+
+
+def n_real_leaves_same_block(n: int, asset_id: int = 0):
+    """N REAL (non-dummy) spends sharing one 4-ary tree and block.
+
+    Generalizes the reference's `two_real_leaves_same_block` fixture
+    (`aggregator_tests.rs:184-253`) to full-width batches: N distinct
+    secrets/transfer-counts give N distinct nullifiers (the private-batch
+    distinctness constraint requires it), all bound to ONE block header, so
+    the whole batch is admissible to a single private-batch proof. The tree
+    is padded to the next 4-power with filler leaves."""
+    assert 1 <= n <= 64
+    datas = []
+    for i in range(n):
+        secret = _derived_secret(i)
+        tc = DEFAULT_TRANSFER_COUNTS[i] if i < 2 else 100 + i
+        amt_in = DEFAULT_INPUT_AMOUNTS[i] if i < 2 else 100 * (i + 1)
+        amt_out = DEFAULT_OUTPUT_AMOUNTS[i] if i < 2 else 99 * (i + 1)
+        account_felts = unspendable_account_from_secret(secret)
+        account = sz.digest_to_bytes(account_felts)
+        leaf_hash = sz.digest_to_bytes(
+            compute_zk_leaf_hash(
+                sz.bytes_to_digest(account), tc, asset_id, amt_in
+            )
+        )
+        datas.append((leaf_hash, account, secret, tc, amt_in, amt_out))
+
+    leaves = [d[0] for d in datas]
+    width = 4
+    while width < n:
+        width *= 4
+    for j in range(n, width):
+        leaves.append(
+            sz.digest_to_bytes(
+                np.array([11 + 10 * j, 12, 13, 14], dtype=np.uint64)
+            )
+        )
+    tree = zm.ZkMerkleTree(leaves)
     root = tree.root
 
     header = HeaderInputs.new(
@@ -116,16 +165,12 @@ def two_real_leaves_same_block(asset_id: int = 0):
     block_hash = header.block_hash()
 
     out = []
-    for i, (leaf, account, secret) in enumerate(
-        [(leaf0, account0, secret0), (leaf1, account1, secret1)]
-    ):
+    for i, (leaf, account, secret, tc, amt_in, amt_out) in enumerate(datas):
         proof = tree.prove(i)
-        nullifier = sz.digest_to_bytes(
-            nullifier_from_preimage(secret, DEFAULT_TRANSFER_COUNTS[i])
-        )
+        nullifier = sz.digest_to_bytes(nullifier_from_preimage(secret, tc))
         public = wi.PublicCircuitInputs(
             asset_id=asset_id,
-            output_amount_1=DEFAULT_OUTPUT_AMOUNTS[i],
+            output_amount_1=amt_out,
             output_amount_2=0,
             volume_fee_bps=DEFAULT_VOLUME_FEE_BPS,
             nullifier=wi.BytesDigest(nullifier),
@@ -136,13 +181,13 @@ def two_real_leaves_same_block(asset_id: int = 0):
         )
         private = PrivateCircuitInputs(
             secret=secret,
-            transfer_count=DEFAULT_TRANSFER_COUNTS[i],
+            transfer_count=tc,
             unspendable_account=account,
             parent_hash=DEFAULT_PARENT_HASH,
             state_root=DEFAULT_STATE_ROOT,
             extrinsics_root=DEFAULT_EXTRINSICS_ROOT,
             digest=DEFAULT_DIGEST,
-            input_amount=DEFAULT_INPUT_AMOUNTS[i],
+            input_amount=amt_in,
             zk_tree_root=root,
             siblings=[list(lvl) for lvl in proof.siblings],
             positions=list(proof.positions),

@@ -51,13 +51,15 @@ class WormholeVerifier:
 
     @classmethod
     def new_from_bytes(
-        cls, verifier_bytes: bytes, common_bytes: bytes | None = None,
+        cls, verifier_bytes: bytes, common_bytes: bytes,
         enforce_pins: bool = True,
     ) -> "WormholeVerifier":
-        """Load from artifact bytes with the reference's pinning ladder
-        (`verifier/src/lib.rs:170-246`): size caps → keccak256 pins against
-        the compiled-in canonical digests → deserialize → config/PI-shape
-        re-check. ONLY the canonical artifact can load when pins are on."""
+        """Load from the (verifier.bin, common.bin) artifact pair with the
+        reference's pinning ladder (`verifier/src/lib.rs:170-246`): size caps
+        → keccak256 pins against the compiled-in canonical digests →
+        deserialize (the recomputed circuit digest binds the two views) →
+        config/PI-shape re-check. ONLY the canonical pair loads when pins
+        are on."""
         from ..plonk.serialization import VerifierCircuitData
         from .artifacts import MAX_VERIFIER_ARTIFACT_BYTES
 
@@ -65,8 +67,6 @@ class WormholeVerifier:
             ("verifier.bin", verifier_bytes, pins.CANONICAL_LEAF_VERIFIER_KECCAK256),
             ("common.bin", common_bytes, pins.CANONICAL_LEAF_COMMON_KECCAK256),
         ):
-            if blob is None:
-                continue
             if len(blob) > MAX_VERIFIER_ARTIFACT_BYTES:
                 raise VerificationError(f"{name} exceeds the artifact size cap")
             if enforce_pins:
@@ -74,26 +74,22 @@ class WormholeVerifier:
                     raise VerificationError("canonical keccak pins are unset in this build")
                 if keccak256(blob).hex() != pin:
                     raise VerificationError(f"{name} keccak256 does not match the canonical pin")
-        vdata = VerifierCircuitData.from_bytes(
-            verifier_bytes, max_len=MAX_VERIFIER_ARTIFACT_BYTES
+        vdata = VerifierCircuitData.from_artifact_bytes(
+            verifier_bytes, common_bytes, max_len=MAX_VERIFIER_ARTIFACT_BYTES
         )
         ensure_loaded_matches_canonical_leaf_profile(vdata)
         return cls(vdata)
 
     @classmethod
     def new_from_files(
-        cls, verifier_path, common_path=None, enforce_pins: bool = True
+        cls, verifier_path, common_path, enforce_pins: bool = True
     ) -> "WormholeVerifier":
         """File-loading variant: size-capped reads BEFORE allocation
         (reference `verifier/src/lib.rs:143-159, 255-268`)."""
         from .artifacts import MAX_VERIFIER_ARTIFACT_BYTES, read_artifact_file
 
         verifier_bytes = read_artifact_file(verifier_path, MAX_VERIFIER_ARTIFACT_BYTES)
-        common_bytes = (
-            read_artifact_file(common_path, MAX_VERIFIER_ARTIFACT_BYTES)
-            if common_path is not None
-            else None
-        )
+        common_bytes = read_artifact_file(common_path, MAX_VERIFIER_ARTIFACT_BYTES)
         return cls.new_from_bytes(verifier_bytes, common_bytes, enforce_pins=enforce_pins)
 
     def verify(self, proof) -> wi.PublicCircuitInputs:

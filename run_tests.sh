@@ -21,6 +21,7 @@ CPU_SUITES=(
     tests/test_sensitive.py
     tests/test_serialization_inputs.py
     tests/test_spec_differential.py
+    tests/test_properties.py
     tests/test_sharding.py
 )
 TPU_SUITES=(

@@ -146,9 +146,13 @@ def test_regenerate_canonical_pins():
     from qp_zk_circuits_tpu.hash.keccak import keccak256
 
     vdata = VerifierCircuitData.from_circuit_data(WormholeProver().data)
-    got = keccak256(vdata.to_bytes()).hex()
-    assert got == pins.CANONICAL_LEAF_VERIFIER_KECCAK256, (
-        f"canonical pin changed — update canonical_pins.py to {got}"
+    got_v = keccak256(vdata.to_verifier_only_bytes()).hex()
+    got_c = keccak256(vdata.to_common_bytes()).hex()
+    assert got_v == pins.CANONICAL_LEAF_VERIFIER_KECCAK256, (
+        f"canonical verifier pin changed — update canonical_pins.py to {got_v}"
+    )
+    assert got_c == pins.CANONICAL_LEAF_COMMON_KECCAK256, (
+        f"canonical common pin changed — update canonical_pins.py to {got_c}"
     )
 
 

@@ -92,6 +92,33 @@ class TestLeafEndToEnd:
         with pytest.raises(VerificationError):
             plonk_verify(loaded2, proof)
 
+    def test_split_artifact_pair_roundtrip(self, leaf_setup):
+        """The (verifier.bin, common.bin) SPLIT views — the reference ships
+        VerifierOnlyCircuitData and CommonCircuitData as distinct artifacts
+        (`verifier/src/lib.rs:199-204`) — must round-trip, verify, and reject
+        a mismatched pair via the digest binding."""
+        from qp_zk_circuits_tpu.plonk.serialization import SerializationError
+
+        prover, proof = leaf_setup
+        vdata = VerifierCircuitData.from_circuit_data(prover.data)
+        vb = vdata.to_verifier_only_bytes()
+        cb = vdata.to_common_bytes()
+        assert vb != cb  # genuinely distinct views
+        loaded = VerifierCircuitData.from_artifact_bytes(vb, cb)
+        assert loaded.to_verifier_only_bytes() == vb
+        assert loaded.to_common_bytes() == cb
+        plonk_verify(loaded, proof)
+        # pair mismatch: a common view claiming different layout is rejected
+        bad_cb = bytearray(cb)
+        bad_cb[-1] ^= 1  # PI count tail
+        with pytest.raises(SerializationError):
+            VerifierCircuitData.from_artifact_bytes(vb, bytes(bad_cb))
+        # malformed verifier-only view (tampered cap felt) is rejected
+        bad_vb = bytearray(vb)
+        bad_vb[-40] ^= 1
+        with pytest.raises(SerializationError):
+            VerifierCircuitData.from_artifact_bytes(bytes(bad_vb), cb)
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

@@ -10,7 +10,6 @@ import pstats
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "")
 import jax
 
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
@@ -25,19 +24,38 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     import pickle
 
-    fixture = "/tmp/leaf_proof_fixture.pkl"
+    # repo-local (gitignored), format-versioned cache — never a world-writable
+    # /tmp path (arbitrary-code-execution via planted pickle, ADVICE r2); any
+    # unpickling/shape error is a cache miss that regenerates
+    FIXTURE_FORMAT = 2
+    fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f".leaf_proof_fixture_v{FIXTURE_FORMAT}.pkl",
+    )
+    data = proof = None
     if os.path.exists(fixture):
-        with open(fixture, "rb") as f:
-            data, proof = pickle.load(f)
+        try:
+            with open(fixture, "rb") as f:
+                fmt, data, proof = pickle.load(f)
+            if fmt != FIXTURE_FORMAT:
+                data = proof = None
+        except Exception:
+            data = proof = None
+    if proof is not None:
         verifier = WormholeVerifier(data)
-    else:
+        try:
+            verifier.verify(proof)
+        except Exception:
+            data = proof = None  # stale fixture from an older proof format
+    if proof is None:
         prover = WormholeProver()
         inputs0, _ = th.two_real_leaves_same_block()
-        verifier = WormholeVerifier(prover.data)
+        data = prover.data
+        verifier = WormholeVerifier(data)
         proof = prover.prove_inputs(inputs0, seed=0)
         try:
             with open(fixture, "wb") as f:
-                pickle.dump((prover.data, proof), f)
+                pickle.dump((FIXTURE_FORMAT, data, proof), f)
         except Exception as e:
             print(f"(fixture not saved: {e})")
     verifier.verify(proof)  # warm
