@@ -244,7 +244,16 @@ def prove_batch(data: CircuitData, pws: list, seed: int | None = None) -> list:
     ]
 
 
-def prove_staged(data: CircuitData, pw: PartialWitness, seed: int | None = None) -> Proof:
+def prove_staged(
+    data: CircuitData, pw: PartialWitness, seed: int | None = None,
+    mesh=None, mesh_axis: str = "cols",
+) -> Proof:
+    """Staged prover. With `mesh`, the three oracle commitments — the
+    memory/bandwidth crux of a big circuit (SURVEY §5.8) — run
+    tensor-parallel over `mesh[mesh_axis]` (`parallel/tp.commit_sharded`:
+    per-device column NTTs, one all_to_all transpose, local subtree builds);
+    proofs are byte-identical to the single-device path (pinned in
+    tests/test_sharding.py)."""
     cfg = data.config
     n = data.n
     rate_bits = cfg.rate_bits
@@ -254,13 +263,22 @@ def prove_staged(data: CircuitData, pw: PartialWitness, seed: int | None = None)
     )
     rng = np.random.default_rng(seed)
 
+    if mesh is not None:
+        import functools
+
+        from ..parallel.tp import commit_sharded
+
+        commit = functools.partial(commit_sharded, mesh=mesh, axis=mesh_axis)
+    else:
+        commit = fo.commit
+
     # 1. witness
     trace, pis = generate_witness(data, pw, rng)
     pi_hash = ps.hash_no_pad(pis)
 
     # 2. wires commitment (trace stays on device: iNTT + LDE fused)
-    wires_o = fo.commit(
-        trace, rate_bits, cap_h, blinding=cfg.zero_knowledge,
+    wires_o = commit(
+        trace, rate_bits=rate_bits, cap_height=cap_h, blinding=cfg.zero_knowledge,
         salt_seed=int(rng.integers(0, 2**63)), from_values=True,
     )
 
@@ -273,8 +291,8 @@ def prove_staged(data: CircuitData, pw: PartialWitness, seed: int | None = None)
 
     # 3. permutation argument
     zpp = compute_permutation_polys(data, trace, betas, gammas)
-    zs_pp_o = fo.commit(
-        zpp, rate_bits, cap_h, blinding=cfg.zero_knowledge,
+    zs_pp_o = commit(
+        zpp, rate_bits=rate_bits, cap_height=cap_h, blinding=cfg.zero_knowledge,
         salt_seed=int(rng.integers(0, 2**63)), from_values=True,
     )
     ch.observe_cap(zs_pp_o.cap)
@@ -303,9 +321,9 @@ def prove_staged(data: CircuitData, pw: PartialWitness, seed: int | None = None)
         gl.from_u64(inv_zh_host),
         gl.from_u64(inv_shift_pows),
     )
-    quotient_o = fo.commit(
-        t_chunks, rate_bits, cap_h, blinding=cfg.zero_knowledge,
-        salt_seed=int(rng.integers(0, 2**63)),
+    quotient_o = commit(
+        t_chunks, rate_bits=rate_bits, cap_height=cap_h,
+        blinding=cfg.zero_knowledge, salt_seed=int(rng.integers(0, 2**63)),
     )
     ch.observe_cap(quotient_o.cap)
     zeta = ch.challenge_ext()

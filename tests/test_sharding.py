@@ -31,5 +31,56 @@ def test_dryrun_multichip_8_devices():
     assert "dryrun_multichip OK" in out.stdout
 
 
+def test_tp_sharded_staged_prove_bit_identical():
+    """`prove_staged(mesh=...)` — the tensor-parallel commit path
+    (parallel/tp.commit_sharded: per-device column NTTs, one all_to_all
+    transpose, local subtree builds) — must produce byte-identical proofs to
+    the single-device pipeline at a ZK 135/60 shape (ragged column padding +
+    blinding salt + quotient chunks all exercised)."""
+    code = r"""
+import jax
+jax.config.update('jax_platforms','cpu')
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 2)
+from qp_zk_circuits_tpu.fri.config import FriConfig, FriReductionStrategy
+from qp_zk_circuits_tpu.plonk.builder import CircuitBuilder, PartialWitness
+from qp_zk_circuits_tpu.plonk.config import CircuitConfig
+from qp_zk_circuits_tpu.plonk.prover import prove_staged
+from qp_zk_circuits_tpu.plonk.serialization import proof_to_bytes
+from qp_zk_circuits_tpu.plonk.verifier import verify
+cfg = CircuitConfig(
+    num_wires=135, num_routed_wires=60, num_challenges=2, zero_knowledge=True,
+    fri_config=FriConfig(rate_bits=3, cap_height=4, proof_of_work_bits=1,
+                         num_query_rounds=2,
+                         reduction_strategy=FriReductionStrategy(4, 5)))
+b = CircuitBuilder(cfg)
+x = b.add_virtual_target(); y = b.add_virtual_target()
+z = b.mul(x, y)
+b.range_check(x, 32)
+b.register_public_inputs([z])
+data = b.build()
+pw = PartialWitness(); pw.set_target(x, 123); pw.set_target(y, 456)
+ref = prove_staged(data, pw, seed=5)
+mesh = jax.make_mesh((8,), ('cols',), devices=jax.devices()[:8])
+tp = prove_staged(data, pw, seed=5, mesh=mesh)
+assert proof_to_bytes(tp) == proof_to_bytes(ref), 'tp proof diverged'
+verify(data, tp)
+print('TP PROVE OK')
+"""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "TP PROVE OK" in out.stdout
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
