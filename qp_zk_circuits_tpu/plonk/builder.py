@@ -417,7 +417,12 @@ class CircuitBuilder:
         self.generators.append((tuple(dep_targets), ("gate_fill", fn)))
 
     # -- build ---------------------------------------------------------------
-    def build(self) -> "CircuitData":
+    def build(self, shape_only: bool = False) -> "CircuitData":
+        """Preprocess the circuit. `shape_only=True` skips the device
+        commitment of the preprocessing oracle (constants_oracle stays None)
+        — for shape/profile tooling that only needs gate counts, degree bits
+        and layout (reference `wormhole/circuit/src/profile.rs` builds
+        circuits purely to print metrics)."""
         assert not self._built
         # hash public inputs in-circuit and pin to a PublicInputGate
         if self.public_input_targets:
@@ -492,7 +497,8 @@ class CircuitBuilder:
             public_input_targets=[self._find(t) for t in self.public_input_targets],
             num_rows_used=num_rows,
         )
-        data.finalize()
+        if not shape_only:
+            data.finalize()
         return data
 
     def print_gate_counts(self) -> None:

@@ -373,8 +373,8 @@ class WormholeCircuit:
         block_header_circuit_without_hash_binding(self.builder, self.targets.block_header)
         connect_shared_targets(self.builder, self.targets)
 
-    def build(self):
-        return self.builder.build()
+    def build(self, shape_only: bool = False):
+        return self.builder.build(shape_only=shape_only)
 
     def num_gates(self) -> int:
         return self.builder.num_gates()

@@ -172,6 +172,7 @@ class PrivateBatchCircuit:
         n_leaf: int,
         config=None,
         enforce_security_floor: bool = True,
+        shape_only: bool = False,
     ):
         config = config or wormhole_private_batch_circuit_config()
         validate_circuit_config(config)
@@ -199,7 +200,7 @@ class PrivateBatchCircuit:
             b, [pt.public_inputs for pt in self.proof_targets], self.dummy_preimages, n_leaf
         )
         self.builder = b
-        self.data = b.build()
+        self.data = b.build(shape_only=shape_only)
 
 
 class BatchCompatibilityError(ValueError):
