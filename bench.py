@@ -65,6 +65,34 @@ def main():
     verify_ms = (time.perf_counter() - t0) / n_runs * 1000.0
 
     baseline_ms = 20.0
+    extra = {
+        "batch": BATCH,
+        "leaf_prove_single_ms": round(single_ms, 3),
+        "leaf_verify_ms": round(verify_ms, 3),
+        "verify_vs_baseline": round(1.6 / verify_ms, 4),
+    }
+    # aggregation metrics: recorded by a full `memprof --canonical --json`
+    # run on this host's TPU (too slow to rerun inside every bench: the
+    # canonical N=8 private batch is a multi-minute prove with multi-hour
+    # cold compiles). AGG_BENCH.json carries the verbatim memprof output +
+    # provenance; reproduce with the command stored inside it.
+    agg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "AGG_BENCH.json")
+    if os.path.exists(agg_path):
+        try:
+            with open(agg_path) as f:
+                agg = json.load(f)
+            extra["agg_recorded"] = {
+                "private_batch_prove_s": agg.get("private_batch_prove_s"),
+                "public_batch_prove_s": agg.get("public_batch_prove_s"),
+                "pool_admission_verify_ms": agg.get("pool_admission_verify_ms"),
+                "n_leaf": agg.get("n_leaf"),
+                "config": agg.get("config"),
+                "peak_mb": agg.get("peak_mb"),
+                "recorded_utc": agg.get("recorded_utc"),
+                "vs_baseline_n8": agg.get("vs_baseline_n8"),
+            }
+        except Exception:
+            pass
     print(
         json.dumps(
             {
@@ -72,12 +100,7 @@ def main():
                 "value": round(stream_ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(baseline_ms / stream_ms, 4),
-                "extra": {
-                    "batch": BATCH,
-                    "leaf_prove_single_ms": round(single_ms, 3),
-                    "leaf_verify_ms": round(verify_ms, 3),
-                    "verify_vs_baseline": round(1.6 / verify_ms, 4),
-                },
+                "extra": extra,
             }
         )
     )

@@ -84,6 +84,7 @@ def commit_sharded(
     blinding: bool = False,
     salt_seed: int | None = None,
     from_values: bool = False,
+    stats: dict | None = None,
 ) -> fo.PolynomialBatch:
     """Mesh-sharded equivalent of `fri/oracle.commit` — same inputs, same
     PolynomialBatch out, proof-byte-identical transcripts."""
@@ -151,9 +152,25 @@ def commit_sharded(
             )
         )
         _JIT_CACHE[key] = cache
+    import time
+
+    t0 = time.perf_counter()
     with jax.set_mesh(mesh):
         out = cache(gvals, salt)
     coeffs_p, lde_p, *levels_dev = out
+    if stats is not None:
+        # collective census of the compiled per-device program: the design
+        # claim is ONE all_to_all transpose (x2 for the u32 lo/hi planes)
+        # and no other cross-device traffic in the commit hot path
+        # count instruction call sites (`opcode(`), not the get-tuple-element
+        # references to their results
+        txt = cache.lower(gvals, salt).compile().as_text()
+        stats["all_to_all"] = txt.count("all-to-all(")
+        stats["other_collectives"] = sum(
+            txt.count(s) for s in ("all-reduce(", "all-gather(", "collective-permute(")
+        )
+        stats["n_devices"] = n_dev
+        stats["wall_s"] = round(time.perf_counter() - t0, 4)
 
     # v1 scope: the commit COMPUTE (column NTTs + transpose + batched hashing
     # + subtree builds — the hot work) is sharded; the resulting oracle is

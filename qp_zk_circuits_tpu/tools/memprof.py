@@ -175,6 +175,19 @@ def run_workload(
 
 
 def main(argv=None):
+    # persistent compile cache: the canonical aggregation graphs take tens of
+    # minutes of XLA compile cold; cache them like the test suite does
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
     ap = argparse.ArgumentParser(description="peak-memory profiler for proving workloads")
     ap.add_argument("--num-leaf-proofs", type=int, default=2)
     ap.add_argument("--peak-target-mb", type=float, default=None, help="CI guard: fail if exceeded")

@@ -131,6 +131,49 @@ def fake_leaf_verifier_data(config: CircuitConfig | None = None) -> VerifierCirc
     )
 
 
+def gadget_cost_vs_leaf_fri(grid=None, n_leaf: int = 2) -> list[dict]:
+    """How the LEAF FRI config drives the aggregator's recursion-gadget size.
+
+    The reference's tradeoff table (`profile.rs:127-189`) shows cheaper FRI
+    configs don't shrink the leaf circuit; the real payoff is downstream —
+    fewer query rounds mean fewer in-circuit FRI checks when the private
+    batch verifies each leaf proof recursively. This sweep builds the
+    private-batch circuit (shape-only) against leaves proven at each config
+    and reports the rows the gadget costs."""
+    rows = []
+    for name, q, pow_bits, bits in grid or SECURITY_GRID:
+        leaf_config = replace(
+            wormhole_leaf_circuit_config(),
+            security_bits=bits,
+            fri_config=FriConfig(
+                rate_bits=3,
+                cap_height=4,
+                proof_of_work_bits=pow_bits,
+                num_query_rounds=q,
+                reduction_strategy=FriReductionStrategy(4, 5),
+            ),
+        )
+        from ..wormhole.private_batch import PrivateBatchCircuit
+
+        leaf_common = fake_leaf_verifier_data(leaf_config)
+        c = PrivateBatchCircuit(
+            leaf_common,
+            n_leaf,
+            shape_only=True,
+            enforce_security_floor=bits >= 100,
+        )
+        rows.append(
+            {
+                "leaf_config": name,
+                "num_query_rounds": q,
+                "security_bits": bits,
+                "pb_degree_bits": c.data.degree_bits,
+                "pb_rows_used": c.data.num_rows_used,
+            }
+        )
+    return rows
+
+
 def aggregation_scaling(n_list=(2, 4, 8, 16), leaf_common=None) -> list[dict]:
     """Private-batch degree / gate count / PI length per leaf count
     (reference `wormhole/aggregator/src/profile.rs:187-226`)."""
@@ -154,7 +197,7 @@ def aggregation_scaling(n_list=(2, 4, 8, 16), leaf_common=None) -> list[dict]:
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="circuit shape profiles (host-only)")
-    ap.add_argument("what", choices=["circuit", "security", "scaling"])
+    ap.add_argument("what", choices=["circuit", "security", "scaling", "gadget"])
     ap.add_argument("--n", type=int, nargs="+", default=[2, 4, 8, 16])
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
@@ -178,6 +221,17 @@ def main(argv=None):
                 print(
                     f"{r['name']:<26} {r['num_query_rounds']:>7} {r['proof_of_work_bits']:>4}"
                     f" {r['security_bits']:>5} {r['degree_bits']:>4} {r['circuit_size']:>7}"
+                )
+    elif args.what == "gadget":
+        rows = gadget_cost_vs_leaf_fri()
+        if args.json:
+            print(json.dumps(rows, indent=2))
+        else:
+            print(f"{'leaf config':<26} {'queries':>7} {'bits':>5} {'pb deg':>6} {'pb rows':>9}")
+            for r in rows:
+                print(
+                    f"{r['leaf_config']:<26} {r['num_query_rounds']:>7} {r['security_bits']:>5}"
+                    f" {r['pb_degree_bits']:>6} {r['pb_rows_used']:>9}"
                 )
     else:
         rows = aggregation_scaling(tuple(args.n))
