@@ -647,10 +647,20 @@ def run_generators(data: CircuitData, pw: PartialWitness) -> dict:
     values: dict[int, int] = {}
     root = data.target_root
 
+    # QZKT_WITNESS_KEEP_FIRST=1: profiling-only knob (tools_profile_witness):
+    # keep the first value on conflict instead of raising, so shape-correct
+    # FAKE proofs can drive a timing run of the generator replay. Never set
+    # in production — the conflict check catches real witness bugs.
+    import os
+
+    strict = not os.environ.get("QZKT_WITNESS_KEEP_FIRST")
+
     def set_val(t, v):
         r = root[t]
-        if r in values and values[r] != v % P:
-            raise WitnessError(f"conflicting witness value for target {t}")
+        if r in values:
+            if strict and values[r] != v % P:
+                raise WitnessError(f"conflicting witness value for target {t}")
+            return
         values[r] = v % P
 
     def get_val(t):

@@ -24,6 +24,13 @@ def main():
     ap.add_argument("--n-leaf", type=int, default=8)
     ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.abspath(__file__)), "AGG_BENCH.json"))
     ap.add_argument("--skip-public-batch", action="store_true")
+    ap.add_argument(
+        "--warm",
+        action="store_true",
+        help="run one throwaway prove per layer first, so the recorded times "
+        "are steady-state (the aggregation service compiles at startup; the "
+        "reference's 5.39 s likewise excludes circuit build)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -54,7 +61,10 @@ def main():
         "config": "canonical-zk (135/60 wires, 28 queries x rate 3 + 16 PoW = 100 bits)",
         "n_leaf": n,
         "recorded_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
-        "reproduce": f"python tools_bench_agg.py --n-leaf {n}",
+        "reproduce": f"python tools_bench_agg.py --n-leaf {n}"
+        + (" --warm" if args.warm else ""),
+        "warm": bool(args.warm),
+        "prover_path": "fused" if os.environ.get("QZKT_FORCE_FUSED") else "auto",
     }
 
     sampler = MemorySampler()
@@ -64,6 +74,8 @@ def main():
         rec["leaf_build_s"] = round(time.perf_counter() - t0, 3)
 
         inputs = th.n_real_leaves_same_block(n)
+        if args.warm:
+            leaf_prover.prove_inputs(inputs[0], seed=999)  # compile/cache-load
         t0 = time.perf_counter()
         proofs = [leaf_prover.prove_inputs(inputs[k], seed=k) for k in range(n)]
         rec["leaf_prove_total_s"] = round(time.perf_counter() - t0, 3)
@@ -78,6 +90,8 @@ def main():
             agg_circuit, WormholeVerifier(leaf_prover.data), dummy
         )
 
+        if args.warm:
+            agg_prover.aggregate(proofs, seed=99, rng=np.random.default_rng(99))
         t0 = time.perf_counter()
         agg = agg_prover.aggregate(proofs, seed=0, rng=np.random.default_rng(0))
         rec["private_batch_prove_s"] = round(time.perf_counter() - t0, 3)
@@ -113,6 +127,8 @@ def main():
                 pub_circuit, partial(plonk_verify, agg_circuit.data), dummy_pb
             )
             addr = wi.BytesDigest(bytes(range(1, 33)))
+            if args.warm:
+                pub_prover.commit([agg], addr).prove(seed=99)
             t0 = time.perf_counter()
             pub = pub_prover.commit([agg], addr).prove(seed=0)
             rec["public_batch_prove_s"] = round(time.perf_counter() - t0, 3)
