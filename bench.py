@@ -71,6 +71,9 @@ def main():
         "leaf_verify_ms": round(verify_ms, 3),
         "verify_vs_baseline": round(1.6 / verify_ms, 4),
     }
+    timings = prover.data.__dict__.get("_last_prove_timings")
+    if timings:
+        extra["leaf_single_phases"] = timings
     # aggregation metrics: recorded by a full `memprof --canonical --json`
     # run on this host's TPU (too slow to rerun inside every bench: the
     # canonical N=8 private batch is a multi-minute prove with multi-hour

@@ -23,7 +23,7 @@ from pathlib import Path
 import numpy as np
 
 _HERE = Path(__file__).resolve().parent
-_SRCS = (_HERE / "poseidon2.c", _HERE / "fri_verify.c")
+_SRCS = (_HERE / "poseidon2.c", _HERE / "fri_verify.c", _HERE / "witness_tape.c")
 
 
 def _so_path() -> Path:
@@ -130,6 +130,10 @@ def _load():
         u32p = ctypes.POINTER(ctypes.c_uint32)
         lib.eval_tape.argtypes = [u8p, u32p, u32p, ctypes.c_uint64, u64p,
                                   ctypes.c_uint64, u64p]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.wt_run.restype = ctypes.c_int64
+        lib.wt_run.argtypes = [i32p, ctypes.c_int64, u64p, u64p, u8p,
+                               ctypes.c_int64]
 
         from ..hash import poseidon2 as ps
 
@@ -284,6 +288,32 @@ def eval_tape(tape, inputs: np.ndarray) -> np.ndarray:
         _ptr(values),
     )
     return values[tape.out_ids]
+
+
+def witness_tape_run(
+    code: np.ndarray,
+    consts: np.ndarray,
+    vals: np.ndarray,
+    written: np.ndarray,
+    rounds_p: int,
+) -> int:
+    """Execute a witness-replay tape (plonk/witness_tape.py) in C. `vals` and
+    `written` are modified in place; returns 0 ok, else (err << 32) | record."""
+    lib = _load()
+    assert lib is not None
+    assert code.dtype == np.int32 and code.flags.c_contiguous
+    assert vals.dtype == np.uint64 and vals.flags.c_contiguous
+    assert written.dtype == np.uint8 and written.flags.c_contiguous
+    return int(
+        lib.wt_run(
+            code.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            code.size,
+            _ptr(np.ascontiguousarray(consts, dtype=np.uint64)),
+            _ptr(vals),
+            written.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            int(rounds_p),
+        )
+    )
 
 
 def absorb_many(state: np.ndarray, buf: list, felts: np.ndarray) -> tuple[np.ndarray, list]:

@@ -160,7 +160,7 @@ class CircuitBuilder:
         t = self.wire_target(row, used)
         self._const_slot = (row, used + 1)
         self._const_cache[value] = t
-        self._simple_generator([], lambda get: [value], [t])
+        self._simple_generator([], lambda get: [value], [t], desc=("const", value))
         return t
 
     def zero(self) -> int:
@@ -182,9 +182,13 @@ class CircuitBuilder:
         return self.one() if b else self.zero()
 
     # -- generators --------------------------------------------------------
-    def _simple_generator(self, deps: list[int], fn, outputs: list[int]) -> None:
-        """fn(get) -> list of output values (ints)."""
-        self.generators.append((tuple(deps), (fn, tuple(outputs))))
+    def _simple_generator(self, deps: list[int], fn, outputs: list[int], desc=None) -> None:
+        """fn(get) -> list of output values (ints). `desc` is the optional
+        witness-tape descriptor (plonk/witness_tape.py) — a tuple like
+        ("fmadd", c0, c1, a, b, c) that lets the recorded replay program be
+        lowered to the native C VM; generators without one force the Python
+        replay fallback."""
+        self.generators.append((tuple(deps), (fn, tuple(outputs), desc)))
 
     # -- arithmetic --------------------------------------------------------
     def _arith_op(self, c0: int, c1: int, a: int, b: int, c: int) -> int:
@@ -210,6 +214,7 @@ class CircuitBuilder:
                 _fmadd(c0, get(a), get(b), c1, get(c))
             ],
             [out],
+            desc=("fmadd", c0, c1, a, b, c),
         )
         return out
 
@@ -243,7 +248,9 @@ class CircuitBuilder:
     def inverse(self, a: int) -> int:
         """out = a^{-1}; constrained by a * out == 1 (fails to prove if a == 0)."""
         inv = self.add_virtual_target()
-        self._simple_generator([a], lambda get, a=a: [_finv(get(a))], [inv])
+        self._simple_generator(
+            [a], lambda get, a=a: [_finv(get(a))], [inv], desc=("inv", a)
+        )
         prod = self.mul(a, inv)
         self.connect(prod, self.one())
         return inv
@@ -283,7 +290,7 @@ class CircuitBuilder:
         d = self.sub(x, y)
         m = self.add_virtual_target()
         self._simple_generator(
-            [d], lambda get, d=d: [_finv_or_zero(get(d))], [m]
+            [d], lambda get, d=d: [_finv_or_zero(get(d))], [m], desc=("invz", d)
         )
         dm = self.mul(d, m)
         eq = self.sub(self.one(), dm)
@@ -331,7 +338,10 @@ class CircuitBuilder:
         lo = self.add_virtual_target()
         hi = self.add_virtual_target()
         self._simple_generator(
-            [x], lambda get, x=x: [get(x) & 0xFFFFFFFF, get(x) >> 32], [lo, hi]
+            [x],
+            lambda get, x=x: [get(x) & 0xFFFFFFFF, get(x) >> 32],
+            [lo, hi],
+            desc=("split64", x),
         )
         recomb = self.mul_const_add(1 << 32, hi, lo)
         self.connect(recomb, x)
@@ -414,7 +424,11 @@ class CircuitBuilder:
             gate.fill_row(getw, setw)
             return [(cell_targets[col], val) for col, val in results.items()]
 
-        self.generators.append((tuple(dep_targets), ("gate_fill", fn)))
+        # tape descriptor: (row, cell_targets) — witness_tape.py resolves the
+        # gate type + wire->root indices at lowering time
+        self.generators.append(
+            (tuple(dep_targets), ("gate_fill", fn, (row, cell_targets)))
+        )
 
     # -- build ---------------------------------------------------------------
     def build(self, shape_only: bool = False) -> "CircuitData":
@@ -673,11 +687,11 @@ def run_generators(data: CircuitData, pw: PartialWitness) -> dict:
     cached = data.__dict__.get("_witness_program")
     if cached is not None and cached[0] == keyset:
         for action in cached[1]:
-            if isinstance(action, tuple) and action[0] == "gate_fill":
+            if action[0] == "gate_fill":
                 for t, v in action[1](get_val):
                     set_val(t, v)
             else:
-                fn, outputs = action
+                fn, outputs = action[0], action[1]
                 for t, v in zip(outputs, fn(get_val)):
                     set_val(t, v)
         return values
@@ -693,13 +707,12 @@ def run_generators(data: CircuitData, pw: PartialWitness) -> dict:
         still = []
         for deps, action in pending:
             if all(has_val(d) for d in deps):
-                kind_fn = action
-                if isinstance(kind_fn, tuple) and kind_fn[0] == "gate_fill":
-                    outs = kind_fn[1](get_val)
+                if action[0] == "gate_fill":
+                    outs = action[1](get_val)
                     for t, v in outs:
                         set_val(t, v)
                 else:
-                    fn, outputs = kind_fn
+                    fn, outputs = action[0], action[1]
                     results = fn(get_val)
                     for t, v in zip(outputs, results):
                         set_val(t, v)
@@ -755,11 +768,11 @@ def run_generators_batch(data: CircuitData, pws: list) -> dict:
     if cached is not None and cached[0] == keyset:
         pending = []  # replay the recorded linear program
         for action in cached[1]:
-            if isinstance(action, tuple) and action[0] == "gate_fill":
+            if action[0] == "gate_fill":
                 for t, v in action[1](get_val):
                     set_val(t, v)
             else:
-                fn, outputs = action
+                fn, outputs = action[0], action[1]
                 for t, v in zip(outputs, fn(get_val)):
                     set_val(t, v)
         return values
@@ -771,11 +784,11 @@ def run_generators_batch(data: CircuitData, pws: list) -> dict:
         still = []
         for deps, action in pending:
             if all(has_val(d) for d in deps):
-                if isinstance(action, tuple) and action[0] == "gate_fill":
+                if action[0] == "gate_fill":
                     for t, v in action[1](get_val):
                         set_val(t, v)
                 else:
-                    fn, outputs = action
+                    fn, outputs = action[0], action[1]
                     for t, v in zip(outputs, fn(get_val)):
                         set_val(t, v)
                 progress = True
@@ -847,6 +860,28 @@ def witness_values_vector(data: CircuitData, values: dict) -> np.ndarray:
     return out
 
 
+def witness_root_values(data: CircuitData, pw: PartialWitness) -> np.ndarray:
+    """(num_targets,) uint64 array of root-target values. Runs the native
+    witness-tape VM when available (plonk/witness_tape.py; ~80x faster than
+    the Python replay on the canonical private batch), else falls back to
+    `run_generators` + a bulk scatter. Unset roots are zero."""
+    import os
+
+    if not os.environ.get("QZKT_WITNESS_KEEP_FIRST"):  # tape is strict-only
+        from . import witness_tape as wt
+
+        arr = wt.run_tape(data, pw)
+        if arr is not None:
+            return arr
+    values = run_generators(data, pw)
+    arr = np.zeros(data.num_targets, dtype=np.uint64)
+    if values:
+        ks = np.fromiter(values.keys(), dtype=np.int64, count=len(values))
+        vs = np.fromiter(values.values(), dtype=np.uint64, count=len(values))
+        arr[ks] = vs
+    return arr
+
+
 def public_inputs_from_values(data: CircuitData, values: dict) -> np.ndarray:
     root = data.target_root
     return np.array(
@@ -856,18 +891,20 @@ def public_inputs_from_values(data: CircuitData, values: dict) -> np.ndarray:
 
 def generate_witness(data: CircuitData, pw: PartialWitness, rng=None):
     """Run generators to a fixpoint; returns (trace (num_wires, n), public_inputs)."""
-    values = run_generators(data, pw)
+    arr = witness_root_values(data, pw)
 
     cfg = data.config
     trace = np.zeros((cfg.num_wires, data.n), dtype=np.uint64)
-    root = data.target_root
-    for (row, col), t in data.cell_target.items():
-        r = root[t]
-        if r in values:
-            trace[col, row] = values[r]
+    roots_order, _, cell_flat, cell_slot = witness_scatter_tables(data)
+    ro = data.__dict__.get("_roots_order_arr")
+    if ro is None:
+        ro = np.asarray(roots_order, dtype=np.int64)
+        data.__dict__["_roots_order_arr"] = ro
+    trace.ravel()[cell_flat] = arr[ro[cell_slot]]
     if cfg.zero_knowledge:
         rng = rng or np.random.default_rng()
         blind = F.rand_felts((cfg.num_wires, data.n - data.num_rows_used), rng)
         trace[:, data.num_rows_used :] = blind
-    pis = public_inputs_from_values(data, values)
+    # public_input_targets are stored root-resolved by build()
+    pis = arr[np.asarray(data.public_input_targets, dtype=np.int64)]
     return trace, pis

@@ -199,11 +199,51 @@ def quotient_run(data: CircuitData):
 
 
 #: circuits up to this degree use the fused single-graph prover by default;
-#: larger circuits (the recursive aggregation layers) use the staged pipeline
-#: whose many small graphs compile incrementally and are REUSED across
-#: same-shaped circuits — the fused graph of a degree-2^15 recursion circuit
-#: costs tens of minutes of XLA compile for a one-shot prove.
+#: larger circuits (the recursive aggregation layers) default to the staged
+#: pipeline UNLESS warmed up — the fused graph of a degree-2^17 recursion
+#: circuit costs ~16 min of one-shot XLA compile (persisted in .jax_cache),
+#: after which fused proves are 17-64x faster than staged (AGG_BENCH.json:
+#: 346 s -> 20.5 s private batch, 249 s -> 3.9 s public batch). Production
+#: services call `warmup_fused` at startup (reference services likewise
+#: build circuits at startup, `aggregator.rs:23-63`).
 FUSED_DEGREE_BITS_MAX = 11
+
+
+def warmup_fused(data: CircuitData, rng_mode: str = "device") -> None:
+    """Build + compile the fused single-graph prover for `data` and flip
+    subsequent `prove()` calls onto it (prove() prefers fused once the graph
+    exists). Runs one zero-witness execution so the XLA compile (or the
+    persistent-cache load) happens HERE, not on the first real prove.
+
+    For ZK circuits the default `rng_mode='device'` compiles the device-rng
+    variant: blinding rows + oracle salts are generated in-graph from a
+    threefry key, so a prove ships only the witness values (O(100x) smaller
+    upload for the canonical private batch). Pass 'host' for the
+    staged-bit-identical graph instead."""
+    import jax
+    import jax.numpy as jnp
+
+    from .builder import witness_scatter_tables
+    from .prover_fused import _build_fused
+
+    cfg = data.config
+    dev = cfg.zero_knowledge and rng_mode == "device"
+    slot = "_fused_dev" if dev else "_fused"
+    cache = data.__dict__.get(slot)
+    if cache is None:
+        cache = _build_fused(data, device_rng=dev)
+        data.__dict__[slot] = cache
+    fused_jit, _, bundle, meta = cache
+    if cfg.zero_knowledge and not dev:
+        in_len = cfg.num_wires * data.n + 4 + 3 * meta["m"] * meta["n_salt"]
+    else:
+        in_len = len(witness_scatter_tables(data)[0]) + 4
+    flat = GF(jnp.zeros((in_len,), jnp.uint32), jnp.zeros((in_len,), jnp.uint32))
+    if dev:
+        out = fused_jit(flat, bundle, jax.random.PRNGKey(0))
+    else:
+        out = fused_jit(flat, bundle)
+    jax.block_until_ready(out)
 
 
 def prove(data: CircuitData, pw: PartialWitness, seed: int | None = None) -> Proof:
@@ -219,6 +259,7 @@ def prove(data: CircuitData, pw: PartialWitness, seed: int | None = None) -> Pro
         data.degree_bits <= FUSED_DEGREE_BITS_MAX
         or os.environ.get("QZKT_FORCE_FUSED")
         or "_fused" in data.__dict__  # graph already built/compiled
+        or "_fused_dev" in data.__dict__  # device-rng graph (warmup_fused)
     )
     if use_fused:
         from .prover_fused import prove_fused

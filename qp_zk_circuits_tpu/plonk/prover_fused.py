@@ -317,7 +317,32 @@ class _Unpacker:
 # the fused graph builder
 
 
-def _build_fused(data: CircuitData):
+def _rand_felts_j(key, shape):
+    """Uniform canonical felts on device from a threefry key. Two independent
+    u64 draws + select (take the second where the first lands in [p, 2^64));
+    the 2^-64 residual is canonicalized by conditional subtract. Matches the
+    host `F.rand_felts` DISTRIBUTION (uniform over the field), not its
+    stream — device_rng proofs are therefore valid but not byte-identical to
+    host-rng proofs of the same seed (blinding/salts are free randomness)."""
+    import jax
+    import jax.numpy as jnp
+
+    k1, k2 = jax.random.split(key)
+
+    def draw(k):
+        lo = jax.random.bits(jax.random.fold_in(k, 0), shape, jnp.uint32)
+        hi = jax.random.bits(jax.random.fold_in(k, 1), shape, jnp.uint32)
+        return lo, hi
+
+    lo1, hi1 = draw(k1)
+    lo2, hi2 = draw(k2)
+    bad1 = (hi1 == jnp.uint32(0xFFFFFFFF)) & (lo1 >= jnp.uint32(1))
+    lo = jnp.where(bad1, lo2, lo1)
+    hi = jnp.where(bad1, hi2, hi1)
+    return gl._canonicalize(lo, hi)
+
+
+def _build_fused(data: CircuitData, device_rng: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -395,17 +420,22 @@ def _build_fused(data: CircuitData):
     # static salt sizes per oracle (wires, zs_pp, quotient)
     n_salt = SALT_SIZE if zk else 0
 
-    # non-ZK circuits upload only the distinct witness values; the trace is
-    # scattered on device (static index tables baked into the graph). ZK
-    # circuits keep the dense-trace upload: their blinding rows are host rng
-    # (bit-identity with the staged path).
-    if not zk:
+    # non-ZK circuits (and ZK circuits in device_rng mode) upload only the
+    # distinct witness values; the trace is scattered on device (static index
+    # tables baked into the graph). Host-rng ZK keeps the dense-trace upload
+    # for bit-identity with the staged path; device_rng generates the
+    # blinding rows + oracle salts in-graph from a threefry key, cutting the
+    # per-proof upload from O(num_wires * lde) to O(witness values) — the
+    # dominant cost of the canonical private batch (166+ MB of host-drawn
+    # randomness shipped over the tunnel per proof otherwise).
+    if not zk or device_rng:
         from .builder import witness_scatter_tables
 
         roots_order, _, cell_flat_np, cell_slot_np = witness_scatter_tables(data)
         n_slots = len(roots_order)
+    rows_used = data.num_rows_used
 
-    def fused(flat_in: GF, b):
+    def fused(flat_in: GF, b, key=None):
         pk = _Packer()
 
         # ---- unpack inputs ----
@@ -420,18 +450,40 @@ def _build_fused(data: CircuitData):
             off += size
             return part
 
-        if zk:
-            trace = take(nw * n, (nw, n))
-        else:
-            vals = take(n_slots, (n_slots,))
+        def scatter_trace(vals):
             cell_slot = jnp.asarray(cell_slot_np)
             cell_flat = jnp.asarray(cell_flat_np)
-            trace = GF(
+            return GF(
                 jnp.zeros(nw * n, jnp.uint32).at[cell_flat].set(vals.lo[cell_slot]),
                 jnp.zeros(nw * n, jnp.uint32).at[cell_flat].set(vals.hi[cell_slot]),
             ).reshape((nw, n))
+
+        if zk and not device_rng:
+            trace = take(nw * n, (nw, n))
+        elif zk:
+            import jax
+
+            vals = take(n_slots, (n_slots,))
+            blind = _rand_felts_j(jax.random.fold_in(key, 0), (nw, n - rows_used))
+            scattered = scatter_trace(vals)
+            trace = GF(
+                jnp.concatenate([scattered.lo[:, :rows_used], blind.lo], axis=1),
+                jnp.concatenate([scattered.hi[:, :rows_used], blind.hi], axis=1),
+            )
+        else:
+            trace = scatter_trace(take(n_slots, (n_slots,)))
         pi_hash = take(4, (4,))
-        salts = [take(m * n_salt, (m, n_salt)) for _ in range(3)] if zk else [None] * 3
+        if zk and device_rng:
+            import jax
+
+            salts = [
+                _rand_felts_j(jax.random.fold_in(key, 1 + i), (m, n_salt))
+                for i in range(3)
+            ]
+        elif zk:
+            salts = [take(m * n_salt, (m, n_salt)) for _ in range(3)]
+        else:
+            salts = [None] * 3
 
         ch = DeviceChallenger()
         ch.observe_many(b["digest"])
@@ -686,17 +738,7 @@ def _flat_input(data: CircuitData, pw: PartialWitness, rng, meta) -> tuple:
     Non-ZK circuits ship only the distinct witness values (the device
     scatters the trace); ZK circuits ship the dense blinded trace."""
     if not data.config.zero_knowledge:
-        from .builder import (
-            public_inputs_from_values,
-            run_generators,
-            witness_values_vector,
-        )
-
-        values = run_generators(data, pw)
-        vals = witness_values_vector(data, values)
-        pis = public_inputs_from_values(data, values)
-        pi_hash = ps.hash_no_pad(pis)
-        return np.concatenate([vals, np.asarray(pi_hash)]), pis
+        return _flat_values(data, pw)
 
     trace, pis = generate_witness(data, pw, rng)
     pi_hash = ps.hash_no_pad(pis)
@@ -707,6 +749,23 @@ def _flat_input(data: CircuitData, pw: PartialWitness, rng, meta) -> tuple:
         salt_rng = np.random.default_rng(int(rng.integers(0, 2**63)))
         parts.append(F.rand_felts((meta["m"], meta["n_salt"]), salt_rng).ravel())
     return np.concatenate(parts), pis
+
+
+def _flat_values(data: CircuitData, pw: PartialWitness):
+    """Values-only payload (device scatters the trace): non-ZK circuits and
+    ZK circuits in device_rng mode. Native witness tape + numpy gathers."""
+    from .builder import witness_root_values, witness_scatter_tables
+
+    arr = witness_root_values(data, pw)
+    roots_order, _, _, _ = witness_scatter_tables(data)
+    ro = data.__dict__.get("_roots_order_arr")
+    if ro is None:
+        ro = np.asarray(roots_order, dtype=np.int64)
+        data.__dict__["_roots_order_arr"] = ro
+    vals = arr[ro]
+    pis = arr[np.asarray(data.public_input_targets, dtype=np.int64)]
+    pi_hash = ps.hash_no_pad(pis)
+    return np.concatenate([vals, np.asarray(pi_hash)]), pis
 
 
 def _unpack_proof(data: CircuitData, flat_out: np.ndarray, layout, meta, pis) -> Proof:
@@ -909,20 +968,73 @@ def prove_fused_stream(
     return proofs
 
 
-def prove_fused(data: CircuitData, pw: PartialWitness, seed: int | None = None) -> Proof:
+def prove_fused(
+    data: CircuitData,
+    pw: PartialWitness,
+    seed: int | None = None,
+    rng_mode: str = "auto",
+) -> Proof:
+    """rng_mode: 'host' draws ZK blinding/salts on the host (bit-identical to
+    the staged prover for the same seed — the differential-test invariant);
+    'device' generates them in-graph from a threefry key, shipping only the
+    witness values (O(100x) smaller upload for the canonical private batch);
+    'auto' uses 'device' iff `warmup_fused` built the device-rng graph."""
+    import time
+
     cfg = data.config
     assert cfg.max_quotient_degree_factor == (1 << cfg.rate_bits), (
         "quotient evaluation reuses the rate-blowup LDE domain; qdf must equal 2^rate_bits"
     )
     rng = np.random.default_rng(seed)
 
-    cache = data.__dict__.get("_fused")
-    if cache is None:
-        cache = _build_fused(data)
-        data.__dict__["_fused"] = cache
+    use_dev = cfg.zero_knowledge and (
+        rng_mode == "device" or (rng_mode == "auto" and "_fused_dev" in data.__dict__)
+    )
+    if use_dev:
+        cache = data.__dict__.get("_fused_dev")
+        if cache is None:
+            cache = _build_fused(data, device_rng=True)
+            data.__dict__["_fused_dev"] = cache
+    else:
+        cache = data.__dict__.get("_fused")
+        if cache is None:
+            cache = _build_fused(data)
+            data.__dict__["_fused"] = cache
     fused_jit, layout, bundle, meta = cache
 
+    t0 = time.perf_counter()
+    if use_dev:
+        import jax
+
+        flat_in, pis = _flat_values(data, pw)
+        key = jax.random.PRNGKey(int(rng.integers(0, 2**63)))
+        t1 = time.perf_counter()
+        out_dev = fused_jit(gl.from_u64(flat_in), bundle, key)
+        flat_out = gl.to_u64(out_dev)  # exactly ONE device->host transfer
+        t2 = time.perf_counter()
+        proof = _unpack_proof(data, flat_out, layout, meta, pis)
+        data.__dict__["_last_prove_timings"] = {
+            "witness_pack_s": round(t1 - t0, 4),
+            "device_roundtrip_s": round(t2 - t1, 4),
+            "unpack_s": round(time.perf_counter() - t2, 4),
+            "flat_in_mb": round(flat_in.nbytes / 1e6, 1),
+            "rng_mode": "device",
+        }
+        return proof
+
     flat_in, pis = _flat_input(data, pw, rng, meta)
+    t1 = time.perf_counter()
     out_dev = fused_jit(gl.from_u64(flat_in), bundle)
     flat_out = gl.to_u64(out_dev)  # exactly ONE device->host transfer
-    return _unpack_proof(data, flat_out, layout, meta, pis)
+    t2 = time.perf_counter()
+    proof = _unpack_proof(data, flat_out, layout, meta, pis)
+    # phase breakdown for perf tooling (host witness+pack | upload+execute+
+    # download | host unpack); negligible overhead, read by tools_bench_agg
+    data.__dict__["_last_prove_timings"] = {
+        "witness_pack_s": round(t1 - t0, 4),
+        "device_roundtrip_s": round(t2 - t1, 4),
+        "unpack_s": round(time.perf_counter() - t2, 4),
+        "flat_in_mb": round(flat_in.nbytes / 1e6, 1),
+        "rng_mode": "host",
+    }
+    return proof

@@ -96,7 +96,9 @@ def ext_inverse(b: CircuitBuilder, x: ExtTarget) -> ExtTarget:
         ninv = F.inv(norm)
         return [F.mul(x0, ninv), F.mul(F.neg(x1), ninv)]
 
-    b._simple_generator([x[0], x[1]], gen, [inv[0], inv[1]])
+    b._simple_generator(
+        [x[0], x[1]], gen, [inv[0], inv[1]], desc=("extinv", x[0], x[1])
+    )
     prod = ext_mul(b, x, inv)
     b.assert_one(prod[0])
     b.assert_zero(prod[1])

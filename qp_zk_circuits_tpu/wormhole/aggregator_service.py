@@ -42,9 +42,13 @@ class PublicBatchAggregator:
         dummy_private_batch_template,
         aggregator_address: wi.BytesDigest,
         limits: PoolLimits | None = None,
+        warm_start: bool = False,
     ):
         """All verification/proving material pinned here, once; the pool and
-        workers never re-read artifact sources."""
+        workers never re-read artifact sources. `warm_start=True` compiles
+        the fused prover graph at construction (production deployment shape:
+        the one-time compile lands in the persistent XLA cache and every
+        prove_batch is warm steady-state)."""
         self.circuit = public_circuit
         self.inner_verify = inner_verify_fn
         self.outer_verify = outer_verify_fn
@@ -56,6 +60,10 @@ class PublicBatchAggregator:
             batch_size=public_circuit.m,
             limits=limits,
         )
+        if warm_start:
+            from ..plonk.prover import warmup_fused
+
+            warmup_fused(public_circuit.data)
 
     @classmethod
     def with_limits(cls, *args, limits: PoolLimits, **kwargs):

@@ -244,12 +244,25 @@ def verify_dummy_leaf_template(leaf_verifier, template_proof) -> None:
 class PrivateBatchProver:
     """commit/prove with fail-fast admission, dummy padding + uniform shuffle."""
 
-    def __init__(self, circuit: PrivateBatchCircuit, leaf_verifier, dummy_template):
+    def __init__(
+        self,
+        circuit: PrivateBatchCircuit,
+        leaf_verifier,
+        dummy_template,
+        warm_start: bool = False,
+    ):
         self.circuit = circuit
         self.leaf_verifier = leaf_verifier
         verify_dummy_leaf_template(leaf_verifier, dummy_template)
         self.dummy_template = dummy_template
         self._slots = None
+        if warm_start:
+            # compile the fused single-graph prover now (one-time, persisted
+            # in the XLA cache) so every aggregate() is warm steady-state —
+            # the reference service likewise builds circuits at startup
+            from ..plonk.prover import warmup_fused
+
+            warmup_fused(circuit.data)
 
     @classmethod
     def new_from_binaries_dir(

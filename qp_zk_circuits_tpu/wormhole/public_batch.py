@@ -175,13 +175,23 @@ def verify_dummy_private_batch_template(verifier_fn, template, n_leaf: int) -> N
 class PublicBatchProver:
     """Preflight -> pad with the dummy template (NO shuffle) -> prove."""
 
-    def __init__(self, circuit: PublicBatchCircuit, inner_verify_fn, dummy_template):
+    def __init__(
+        self,
+        circuit: PublicBatchCircuit,
+        inner_verify_fn,
+        dummy_template,
+        warm_start: bool = False,
+    ):
         self.circuit = circuit
         self.inner_verify = inner_verify_fn
         verify_dummy_private_batch_template(inner_verify_fn, dummy_template, circuit.n_leaf)
         self.dummy_template = dummy_template
         self._slots = None
         self._address = None
+        if warm_start:
+            from ..plonk.prover import warmup_fused
+
+            warmup_fused(circuit.data)
 
     @classmethod
     def new_from_binaries_dir(

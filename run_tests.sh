@@ -22,6 +22,8 @@ CPU_SUITES=(
     tests/test_serialization_inputs.py
     tests/test_spec_differential.py
     tests/test_properties.py
+    tests/test_profiles.py
+    tests/test_witness_tape.py
     tests/test_sharding.py
 )
 TPU_SUITES=(

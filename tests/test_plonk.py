@@ -189,7 +189,7 @@ class TestFusedStagedDifferential:
         from qp_zk_circuits_tpu.plonk.prover_fused import prove_fused
         from qp_zk_circuits_tpu.plonk.serialization import proof_to_bytes
 
-        b = CircuitBuilder(SMALL)
+        b = CircuitBuilder(WIDE)  # hash gadget needs the Poseidon wire width
         x = b.add_virtual_target()
         y = b.add_virtual_target()
         z = b.mul(x, y)
@@ -231,7 +231,7 @@ class TestFusedStagedDifferential:
         )
         from qp_zk_circuits_tpu.plonk.serialization import proof_to_bytes
 
-        b = CircuitBuilder(SMALL)
+        b = CircuitBuilder(WIDE)  # PI hashing needs the Poseidon wire width
         x = b.add_virtual_target()
         y = b.add_virtual_target()
         b.register_public_inputs([b.add(b.mul(x, y), x)])
@@ -247,6 +247,61 @@ class TestFusedStagedDifferential:
             single = prove_fused(data, pw, seed=0)
             assert proof_to_bytes(batch[i]) == proof_to_bytes(single)
             verify(data, batch[i])
+
+    def test_device_rng_zk_prove_verifies(self):
+        """ZK fused prove with in-graph blinding/salt generation (threefry):
+        ships only witness values (O(100x) smaller upload for the canonical
+        batch). Proofs verify and are ZK-distinct from host-rng proofs; the
+        transcript-driven parts (PIs) are identical."""
+        from qp_zk_circuits_tpu.plonk.prover_fused import prove_fused
+        from qp_zk_circuits_tpu.plonk.serialization import proof_to_bytes
+
+        b = CircuitBuilder(WIDE_ZK)
+        x = b.add_virtual_target()
+        y = b.add_virtual_target()
+        b.register_public_inputs([b.mul(x, y)])
+        b.range_check(x, 16)
+        data = b.build()
+        pw = PartialWitness()
+        pw.set_target(x, 77)
+        pw.set_target(y, 4242)
+        dev = prove_fused(data, pw, seed=3, rng_mode="device")
+        verify(data, dev)
+        host = prove_fused(data, pw, seed=3, rng_mode="host")
+        verify(data, host)
+        assert proof_to_bytes(dev) != proof_to_bytes(host)  # distinct blinding
+        assert list(dev.public_inputs) == list(host.public_inputs)
+        # fresh keys -> fresh blinding -> distinct proofs for distinct seeds
+        dev2 = prove_fused(data, pw, seed=4, rng_mode="device")
+        verify(data, dev2)
+        assert proof_to_bytes(dev2) != proof_to_bytes(dev)
+
+    def test_warmup_fused_flips_prove_default(self, monkeypatch):
+        """Production path for the big recursive circuits: `warmup_fused`
+        compiles the fused graph at service startup, after which plain
+        `prove()` routes fused even above FUSED_DEGREE_BITS_MAX (how the
+        canonical aggregation layers hit 20.5 s / 3.9 s, AGG_BENCH.json)."""
+        from qp_zk_circuits_tpu.plonk import prover as pr
+        from qp_zk_circuits_tpu.plonk.prover_fused import prove_fused
+        from qp_zk_circuits_tpu.plonk.serialization import proof_to_bytes
+
+        b = CircuitBuilder(WIDE_ZK)
+        x = b.add_virtual_target()
+        y = b.add_virtual_target()
+        b.register_public_inputs([b.mul_add(x, y, x)])
+        data = b.build()
+        # pretend this circuit is "too big" for the fused default
+        monkeypatch.setattr(pr, "FUSED_DEGREE_BITS_MAX", 0)
+        pr.warmup_fused(data)
+        # ZK warmup builds the device-rng variant (the production fast path)
+        assert "_fused_dev" in data.__dict__
+        pw = PartialWitness()
+        pw.set_target(x, 3)
+        pw.set_target(y, 9)
+        via_prove = pr.prove(data, pw, seed=11)
+        direct = prove_fused(data, pw, seed=11, rng_mode="device")
+        assert proof_to_bytes(via_prove) == proof_to_bytes(direct)
+        verify(data, via_prove)
 
 
 if __name__ == "__main__":

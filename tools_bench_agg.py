@@ -64,7 +64,11 @@ def main():
         "reproduce": f"python tools_bench_agg.py --n-leaf {n}"
         + (" --warm" if args.warm else ""),
         "warm": bool(args.warm),
-        "prover_path": "fused" if os.environ.get("QZKT_FORCE_FUSED") else "auto",
+        "prover_path": (
+            "fused-forced" if os.environ.get("QZKT_FORCE_FUSED")
+            else "fused-warm-start" if args.warm
+            else "auto"
+        ),
     }
 
     sampler = MemorySampler()
@@ -86,15 +90,22 @@ def main():
         agg_circuit = PrivateBatchCircuit(common, n)
         rec["private_batch_build_s"] = round(time.perf_counter() - t0, 3)
         dummy = generate_dummy_proof(leaf_prover, seed=0)
+        t0 = time.perf_counter()
         agg_prover = PrivateBatchProver(
-            agg_circuit, WormholeVerifier(leaf_prover.data), dummy
+            agg_circuit, WormholeVerifier(leaf_prover.data), dummy,
+            warm_start=args.warm,
         )
+        if args.warm:
+            rec["private_batch_warmup_s"] = round(time.perf_counter() - t0, 3)
 
         if args.warm:
             agg_prover.aggregate(proofs, seed=99, rng=np.random.default_rng(99))
         t0 = time.perf_counter()
         agg = agg_prover.aggregate(proofs, seed=0, rng=np.random.default_rng(0))
         rec["private_batch_prove_s"] = round(time.perf_counter() - t0, 3)
+        timings = agg_circuit.data.__dict__.get("_last_prove_timings")
+        if timings:
+            rec["private_batch_phases"] = timings
         ref_n8 = {2: 1.55, 4: 2.81, 8: 5.39, 16: 10.74, 32: 21.71}.get(n)
         if ref_n8:
             rec["vs_baseline_n8"] = round(ref_n8 / rec["private_batch_prove_s"], 4)
@@ -124,7 +135,8 @@ def main():
             pub_circuit = PublicBatchCircuit(pb_common, 2, n)
             rec["public_batch_build_s"] = round(time.perf_counter() - t0, 3)
             pub_prover = PublicBatchProver(
-                pub_circuit, partial(plonk_verify, agg_circuit.data), dummy_pb
+                pub_circuit, partial(plonk_verify, agg_circuit.data), dummy_pb,
+                warm_start=args.warm,
             )
             addr = wi.BytesDigest(bytes(range(1, 33)))
             if args.warm:
