@@ -93,7 +93,24 @@ def main():
                 "peak_mb": agg.get("peak_mb"),
                 "recorded_utc": agg.get("recorded_utc"),
                 "vs_baseline_n8": agg.get("vs_baseline_n8"),
+                "prover_path": agg.get("prover_path"),
+                "phases": agg.get("private_batch_phases"),
             }
+        except Exception:
+            pass
+    sweep_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "AGG_SWEEP.json")
+    if os.path.exists(sweep_path):
+        try:
+            with open(sweep_path) as f:
+                rows = json.load(f)
+            extra["agg_scaling"] = [
+                {
+                    "n_leaf": r.get("n_leaf"),
+                    "private_batch_prove_s": r.get("private_batch_prove_s"),
+                    "reference_s": r.get("reference_s"),
+                }
+                for r in rows
+            ]
         except Exception:
             pass
     print(

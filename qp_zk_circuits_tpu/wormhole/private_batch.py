@@ -263,6 +263,11 @@ class PrivateBatchProver:
             from ..plonk.prover import warmup_fused
 
             warmup_fused(circuit.data)
+            # one throwaway all-dummy prove: records the witness replay
+            # program and compiles its native tape (plonk/witness_tape.py),
+            # so the FIRST real aggregate is already steady-state
+            generate_dummy_private_batch_proof(circuit, dummy_template, seed=0)
+            generate_dummy_private_batch_proof(circuit, dummy_template, seed=1)
 
     @classmethod
     def new_from_binaries_dir(
