@@ -208,7 +208,25 @@ def mul(a: GF, b: GF) -> GF:
 
 
 def sqr(a: GF) -> GF:
-    return mul(a, a)
+    """Specialized squaring: the cross partial product appears twice
+    (lo*hi == hi*lo), so 3 32x32 multiplies instead of mul()'s 4 — the
+    Poseidon2 S-box (x^7 = 2 sqr + 2 mul) is the prover's hottest op."""
+    l00, h00 = _mul32(a.lo, a.lo)
+    l01, h01 = _mul32(a.lo, a.hi)
+    l11, h11 = _mul32(a.hi, a.hi)
+    # double the cross product (2*l01, 2*h01) with carry into r3
+    dl = l01 + l01
+    dl_c = (l01 >> 31).astype(_u32) & 1
+    dh = h01 + h01 + dl_c
+    dh_c = (h01 >> 31).astype(_u32) & 1
+    r0 = l00
+    s1, c1 = _addc(h00, dl)
+    r1 = s1
+    s2, d1 = _addc(dh, l11)
+    s2, d2 = _addc(s2, c1)
+    r2 = s2
+    r3 = h11 + dh_c + d1 + d2
+    return _reduce128(r0, r1, r2, r3)
 
 
 def mul_const(a: GF, c: int) -> GF:

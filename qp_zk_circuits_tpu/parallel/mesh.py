@@ -80,6 +80,8 @@ def sharded_prove_batch(data, mesh: Mesh, pws: list, seed: int | None = None) ->
     from ..plonk.prover_fused import (
         _batch_flat_inputs,
         _build_fused,
+        _from_dev_pairs,
+        _to_dev_pairs,
         _unpack_proof,
     )
 
@@ -102,7 +104,7 @@ def sharded_prove_batch(data, mesh: Mesh, pws: list, seed: int | None = None) ->
     vfused = cache2.get(key)
     if vfused is None:
 
-        def local_prove(flat_local: GF, b):
+        def local_prove(flat_local, b):
             return jax.vmap(fused_jit, in_axes=(0, None))(flat_local, b)
 
         vfused = jax.jit(
@@ -116,8 +118,8 @@ def sharded_prove_batch(data, mesh: Mesh, pws: list, seed: int | None = None) ->
         )
         cache2[key] = vfused
 
-    out_dev = vfused(gl.from_u64(flat_in), bundle)
-    flat_out = gl.to_u64(out_dev)  # one gather+transfer for the whole batch
+    out_dev = vfused(_to_dev_pairs(flat_in), bundle)
+    flat_out = _from_dev_pairs(out_dev)  # one gather+transfer for the whole batch
     return [
         _unpack_proof(data, flat_out[i], layout, meta, pis_list[i]) for i in range(k)
     ]

@@ -218,6 +218,19 @@ class CircuitBuilder:
         )
         return out
 
+    def _fmadd_gen(self, c0: int, a: int, b: int, c1: int, c: int, out: int) -> None:
+        """Generator-only fmadd: out := c0*a*b + c1*c (NO gate row — used by
+        gates whose constraints already pin `out`, e.g. ReducingGate)."""
+        c0, c1 = c0 % P, c1 % P
+        self._simple_generator(
+            [a, b, c],
+            lambda get, c0=c0, c1=c1, a=a, b=b, c=c: [
+                _fmadd(c0, get(a), get(b), c1, get(c))
+            ],
+            [out],
+            desc=("fmadd", c0, c1, a, b, c),
+        )
+
     def add(self, a: int, b: int) -> int:
         return self._arith_op(1, 1, a, self.one(), b)
 
@@ -650,6 +663,22 @@ class WitnessError(Exception):
     pass
 
 
+# Profiling-only lenient mode (ADVICE r3: must not be reachable via a leaked
+# env var). When enabled, witness conflicts keep the first value and oversize
+# range-check inputs are masked, so shape-correct FAKE proofs can drive a
+# timing run of the generator replay (tools_profile_witness.py). Only the
+# explicit API below can enable it — production prove paths never call it.
+_LENIENT_WITNESS = False
+
+
+def enable_lenient_witness_for_profiling() -> None:
+    """Opt into lenient witness generation (profiling tools ONLY): witness
+    conflicts keep the first value; range-check failures mask instead of
+    raising. Produces garbage traces/invalid proofs by design."""
+    global _LENIENT_WITNESS
+    _LENIENT_WITNESS = True
+
+
 def run_generators(data: CircuitData, pw: PartialWitness) -> dict:
     """Run generators to a fixpoint; returns {root_target: value}.
 
@@ -661,13 +690,7 @@ def run_generators(data: CircuitData, pw: PartialWitness) -> dict:
     values: dict[int, int] = {}
     root = data.target_root
 
-    # QZKT_WITNESS_KEEP_FIRST=1: profiling-only knob (tools_profile_witness):
-    # keep the first value on conflict instead of raising, so shape-correct
-    # FAKE proofs can drive a timing run of the generator replay. Never set
-    # in production — the conflict check catches real witness bugs.
-    import os
-
-    strict = not os.environ.get("QZKT_WITNESS_KEEP_FIRST")
+    strict = not _LENIENT_WITNESS
 
     def set_val(t, v):
         r = root[t]
@@ -865,9 +888,7 @@ def witness_root_values(data: CircuitData, pw: PartialWitness) -> np.ndarray:
     witness-tape VM when available (plonk/witness_tape.py; ~80x faster than
     the Python replay on the canonical private batch), else falls back to
     `run_generators` + a bulk scatter. Unset roots are zero."""
-    import os
-
-    if not os.environ.get("QZKT_WITNESS_KEEP_FIRST"):  # tape is strict-only
+    if not _LENIENT_WITNESS:  # tape is strict-only
         from . import witness_tape as wt
 
         arr = wt.run_tape(data, pw)

@@ -219,10 +219,17 @@ def warmup_fused(data: CircuitData, rng_mode: str = "device") -> None:
     variant: blinding rows + oracle salts are generated in-graph from a
     threefry key, so a prove ships only the witness values (O(100x) smaller
     upload for the canonical private batch). Pass 'host' for the
-    staged-bit-identical graph instead."""
+    staged-bit-identical graph instead.
+
+    When QZKT_AOT_CACHE is set, the COMPILED executable is loaded from /
+    saved to that directory (`plonk/aot_cache.py`), skipping Python tracing
+    + StableHLO lowering entirely on a hit — the dominant warm-start cost
+    for the canonical aggregation graphs (r3: ~900-1100 s even with a warm
+    XLA cache)."""
     import jax
     import jax.numpy as jnp
 
+    from . import aot_cache
     from .builder import witness_scatter_tables
     from .prover_fused import _build_fused
 
@@ -233,26 +240,59 @@ def warmup_fused(data: CircuitData, rng_mode: str = "device") -> None:
     if cache is None:
         cache = _build_fused(data, device_rng=dev)
         data.__dict__[slot] = cache
-    fused_jit, _, bundle, meta = cache
+    fused_jit, layout, bundle, meta = cache
     if cfg.zero_knowledge and not dev:
         in_len = cfg.num_wires * data.n + 4 + 3 * meta["m"] * meta["n_salt"]
     else:
         in_len = len(witness_scatter_tables(data)[0]) + 4
-    flat = GF(jnp.zeros((in_len,), jnp.uint32), jnp.zeros((in_len,), jnp.uint32))
-    if dev:
-        out = fused_jit(flat, bundle, jax.random.PRNGKey(0))
-    else:
-        out = fused_jit(flat, bundle)
-    jax.block_until_ready(out)
+    flat2 = jnp.zeros((in_len, 2), jnp.uint32)
+    key_args = (jax.random.PRNGKey(0),) if dev else ()
+
+    if hasattr(fused_jit, "lower"):  # not yet AOT-compiled
+        compiled = None
+        akey = aot_cache.entry_key(data, dev)
+        hit = aot_cache.load(akey)
+        if hit is not None:
+            compiled, saved_layout = hit
+            layout.clear()
+            layout.extend(saved_layout)
+            try:  # execution is the self-check (the CPU PJRT backend can
+                # deserialize an executable it then cannot run)
+                jax.block_until_ready(compiled(flat2, bundle, *key_args))
+            except Exception:
+                compiled = None
+        if compiled is None:
+            # trace/lower/compile explicitly so the executable can be
+            # serialized; tracing populates `layout` as a side effect
+            compiled = fused_jit.lower(flat2, bundle, *key_args).compile()
+            aot_cache.save(akey, compiled, layout)
+            jax.block_until_ready(compiled(flat2, bundle, *key_args))
+        data.__dict__[slot] = (compiled, layout, bundle, meta)
+    else:  # already AOT-compiled in this process: just touch the graph
+        jax.block_until_ready(fused_jit(flat2, bundle, *key_args))
 
 
-def prove(data: CircuitData, pw: PartialWitness, seed: int | None = None) -> Proof:
+def prove(
+    data: CircuitData,
+    pw: PartialWitness,
+    seed: int | None = None,
+    rng_mode: str = "auto",
+) -> Proof:
     """Prove. Small circuits (the leaf class) default to the fully-fused
     single-graph device prover (`prover_fused.prove_fused`, one device->host
     transfer per proof); large recursive circuits default to the staged
     multi-dispatch pipeline (bit-identical output; far cheaper compiles).
     Overrides: QZKT_STAGED_PROVER=1 forces staged, QZKT_FORCE_FUSED=1 forces
-    fused."""
+    fused.
+
+    `rng_mode` (ZK circuits only) selects where blinding rows / oracle salts
+    are drawn: 'host' is bit-identical to the staged prover for the same
+    seed; 'device' draws them in-graph (smaller upload, different — but
+    equally valid — proof bytes). The default 'auto' picks 'device' iff
+    `warmup_fused(..., rng_mode='device')` built that graph, so
+    (data, pw, seed) -> proof bytes is only reproducible for a FIXED
+    rng_mode — pass it explicitly when byte-determinism across processes
+    matters (ADVICE r3)."""
     import os
 
     use_fused = not os.environ.get("QZKT_STAGED_PROVER") and (
@@ -264,7 +304,7 @@ def prove(data: CircuitData, pw: PartialWitness, seed: int | None = None) -> Pro
     if use_fused:
         from .prover_fused import prove_fused
 
-        return prove_fused(data, pw, seed)
+        return prove_fused(data, pw, seed, rng_mode=rng_mode)
     return prove_staged(data, pw, seed)
 
 

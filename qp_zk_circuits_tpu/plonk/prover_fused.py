@@ -435,7 +435,11 @@ def _build_fused(data: CircuitData, device_rng: bool = False):
         n_slots = len(roots_order)
     rows_used = data.num_rows_used
 
-    def fused(flat_in: GF, b, key=None):
+    def fused(flat2, b, key=None):
+        # flat2: (L, 2) uint32 — little-endian (lo, hi) pairs, i.e. the raw
+        # u64 witness buffer viewed as u32. ONE host->device buffer instead
+        # of two (the tunnel charges per transfer, not just per byte).
+        flat_in = GF(flat2[:, 0], flat2[:, 1])
         pk = _Packer()
 
         # ---- unpack inputs ----
@@ -700,7 +704,9 @@ def _build_fused(data: CircuitData, device_rng: bool = False):
 
         layout.clear()
         layout.extend(pk.layout)
-        return pk.pack()
+        packed = pk.pack()
+        # ONE device->host buffer: (L_out, 2) u32 rows view as u64 on host
+        return jnp.stack([packed.lo, packed.hi], axis=-1)
 
     fused_jit = jax.jit(fused)
     meta = {
@@ -731,6 +737,20 @@ def _interleave_ext(arr: GF2) -> GF:
 # host entry
 
 
+def _to_dev_pairs(flat_u64: np.ndarray):
+    """u64 host buffer -> ONE (..., 2)-u32 device buffer (little-endian view,
+    zero-copy on host)."""
+    import jax
+
+    return jax.device_put(flat_u64.view(np.uint32).reshape(flat_u64.shape + (2,)))
+
+
+def _from_dev_pairs(out_dev) -> np.ndarray:
+    """(..., 2)-u32 device buffer -> u64 host array, ONE device->host fetch."""
+    arr = np.ascontiguousarray(np.asarray(out_dev))
+    return arr.view(np.uint64).reshape(arr.shape[:-1])
+
+
 def _flat_input(data: CircuitData, pw: PartialWitness, rng, meta) -> tuple:
     """Host side of one proof: witness values (+ salts for ZK), flattened in
     the order the fused graph unpacks them. Returns (flat_u64, public_inputs).
@@ -754,9 +774,13 @@ def _flat_input(data: CircuitData, pw: PartialWitness, rng, meta) -> tuple:
 def _flat_values(data: CircuitData, pw: PartialWitness):
     """Values-only payload (device scatters the trace): non-ZK circuits and
     ZK circuits in device_rng mode. Native witness tape + numpy gathers."""
+    import time
+
     from .builder import witness_root_values, witness_scatter_tables
 
+    t0 = time.perf_counter()
     arr = witness_root_values(data, pw)
+    t1 = time.perf_counter()
     roots_order, _, _, _ = witness_scatter_tables(data)
     ro = data.__dict__.get("_roots_order_arr")
     if ro is None:
@@ -765,7 +789,12 @@ def _flat_values(data: CircuitData, pw: PartialWitness):
     vals = arr[ro]
     pis = arr[np.asarray(data.public_input_targets, dtype=np.int64)]
     pi_hash = ps.hash_no_pad(pis)
-    return np.concatenate([vals, np.asarray(pi_hash)]), pis
+    out = np.concatenate([vals, np.asarray(pi_hash)])
+    data.__dict__["_witness_timings"] = {
+        "wit_tape_s": round(t1 - t0, 4),
+        "wit_gather_s": round(time.perf_counter() - t1, 4),
+    }
+    return out, pis
 
 
 def _unpack_proof(data: CircuitData, flat_out: np.ndarray, layout, meta, pis) -> Proof:
@@ -902,8 +931,8 @@ def prove_fused_batch(
         vfused = jax.jit(jax.vmap(fused_jit, in_axes=(0, None)))
         batch_cache[k] = vfused
 
-    out_dev = vfused(gl.from_u64(flat_in), bundle)
-    flat_out = gl.to_u64(out_dev)  # ONE device->host transfer for K proofs
+    out_dev = vfused(_to_dev_pairs(flat_in), bundle)
+    flat_out = _from_dev_pairs(out_dev)  # ONE device->host transfer for K proofs
     return [
         _unpack_proof(data, flat_out[i], layout, meta, pis_list[i])
         for i in range(k)
@@ -949,7 +978,7 @@ def prove_fused_stream(
 
     def drain(p):
         out_dev, pis_list = p
-        flat_out = gl.to_u64(out_dev)  # blocks on the device
+        flat_out = _from_dev_pairs(out_dev)  # blocks on the device
         proofs.extend(
             _unpack_proof(data, flat_out[i], layout, meta, pis_list[i])
             for i in range(len(pis_list))
@@ -960,7 +989,7 @@ def prove_fused_stream(
         chunk = list(itertools.islice(it, batch))  # lazy witness fills run HERE,
         # while the previous chunk is still executing on device
         flat_in, pis_list = _batch_flat_inputs(data, chunk, rng, meta)
-        out_dev = vfused(gl.from_u64(flat_in), bundle)  # async dispatch
+        out_dev = vfused(_to_dev_pairs(flat_in), bundle)  # async dispatch
         if pending is not None:
             drain(pending)
         pending = (out_dev, pis_list)
@@ -1009,23 +1038,34 @@ def prove_fused(
         flat_in, pis = _flat_values(data, pw)
         key = jax.random.PRNGKey(int(rng.integers(0, 2**63)))
         t1 = time.perf_counter()
-        out_dev = fused_jit(gl.from_u64(flat_in), bundle, key)
-        flat_out = gl.to_u64(out_dev)  # exactly ONE device->host transfer
+        in_dev = _to_dev_pairs(flat_in)
+        t1u = time.perf_counter()
+        out_dev = fused_jit(in_dev, bundle, key)
+        t1d = time.perf_counter()  # async dispatch done; fetch blocks below
+        flat_out = _from_dev_pairs(out_dev)  # exactly ONE device->host transfer
         t2 = time.perf_counter()
         proof = _unpack_proof(data, flat_out, layout, meta, pis)
         data.__dict__["_last_prove_timings"] = {
             "witness_pack_s": round(t1 - t0, 4),
             "device_roundtrip_s": round(t2 - t1, 4),
+            "upload_s": round(t1u - t1, 4),
+            "dispatch_s": round(t1d - t1u, 4),
+            "execute_fetch_s": round(t2 - t1d, 4),
             "unpack_s": round(time.perf_counter() - t2, 4),
             "flat_in_mb": round(flat_in.nbytes / 1e6, 1),
+            "flat_out_mb": round(flat_out.nbytes / 1e6, 1),
             "rng_mode": "device",
+            **data.__dict__.pop("_witness_timings", {}),
         }
         return proof
 
     flat_in, pis = _flat_input(data, pw, rng, meta)
     t1 = time.perf_counter()
-    out_dev = fused_jit(gl.from_u64(flat_in), bundle)
-    flat_out = gl.to_u64(out_dev)  # exactly ONE device->host transfer
+    in_dev = _to_dev_pairs(flat_in)
+    t1u = time.perf_counter()
+    out_dev = fused_jit(in_dev, bundle)
+    t1d = time.perf_counter()
+    flat_out = _from_dev_pairs(out_dev)  # exactly ONE device->host transfer
     t2 = time.perf_counter()
     proof = _unpack_proof(data, flat_out, layout, meta, pis)
     # phase breakdown for perf tooling (host witness+pack | upload+execute+
@@ -1033,8 +1073,13 @@ def prove_fused(
     data.__dict__["_last_prove_timings"] = {
         "witness_pack_s": round(t1 - t0, 4),
         "device_roundtrip_s": round(t2 - t1, 4),
+        "upload_s": round(t1u - t1, 4),
+        "dispatch_s": round(t1d - t1u, 4),
+        "execute_fetch_s": round(t2 - t1d, 4),
         "unpack_s": round(time.perf_counter() - t2, 4),
         "flat_in_mb": round(flat_in.nbytes / 1e6, 1),
+        "flat_out_mb": round(flat_out.nbytes / 1e6, 1),
         "rng_mode": "host",
+        **data.__dict__.pop("_witness_timings", {}),
     }
     return proof

@@ -132,6 +132,13 @@ def gate_from_key(key: str):
         return ConstantGate(int(key[5:]))
     if key.startswith("base_sum"):
         return BaseSumGate(int(key[8:]))
+    if key.startswith("reduce"):
+        # reduce{b|e}{num_coeffs}s{scratch}
+        from .gates import ReducingGate
+
+        ext = key[6] == "e"
+        nc, scratch = key[7:].split("s")
+        return ReducingGate(int(nc), ext, int(scratch))
     raise SerializationError(f"unknown gate key: {key}")
 
 

@@ -122,3 +122,83 @@ def ext_exp_pow2(b: CircuitBuilder, x: ExtTarget, k: int) -> ExtTarget:
     for _ in range(k):
         x = ext_mul(b, x, x)
     return x
+
+
+def ext_exp_u(b: CircuitBuilder, x: ExtTarget, e: int) -> ExtTarget:
+    """x^e for a Python-int exponent (square-and-multiply)."""
+    acc = None
+    base = x
+    while e:
+        if e & 1:
+            acc = base if acc is None else ext_mul(b, acc, base)
+        e >>= 1
+        if e:
+            base = ext_mul(b, base, base)
+    return acc if acc is not None else ext_one(b)
+
+
+def _reduce_row(b: CircuitBuilder, alpha: ExtTarget, acc_in: ExtTarget,
+                chunk: list, ext: bool) -> ExtTarget:
+    """One ReducingGate row: Horner over `chunk` (consumption order)."""
+    from ..plonk.gates import ReducingGate
+
+    nr = b.config.num_routed_wires
+    g = ReducingGate(len(chunk), ext, nr)
+    row = b.add_gate(g, ())
+    wt = b.wire_target
+    b.connect(wt(row, 0), alpha[0])
+    b.connect(wt(row, 1), alpha[1])
+    b.connect(wt(row, 2), acc_in[0])
+    b.connect(wt(row, 3), acc_in[1])
+    zero = b.zero()
+    prev0, prev1 = acc_in[0], acc_in[1]
+    for k, c in enumerate(chunk):
+        cws = g.coeff_wires(k)
+        if ext:
+            c0t, c1t = c[0], c[1]
+            b.connect(wt(row, cws[1]), c1t)
+        else:
+            c0t, c1t = c, zero
+        b.connect(wt(row, cws[0]), c0t)
+        o0, o1 = g.acc_wires(k)
+        out0, out1 = wt(row, o0), wt(row, o1)
+        # witness completion (constraints pin these): 2 fmadds per component
+        t0 = b.add_virtual_target()
+        b._fmadd_gen(7, prev1, alpha[1], 1, c0t, t0)
+        b._fmadd_gen(1, prev0, alpha[0], 1, t0, out0)
+        t1 = b.add_virtual_target()
+        b._fmadd_gen(1, prev1, alpha[0], 1, c1t, t1)
+        b._fmadd_gen(1, prev0, alpha[1], 1, t1, out1)
+        prev0, prev1 = out0, out1
+    return ExtTarget(prev0, prev1)
+
+
+def ext_reduce_with_powers(b: CircuitBuilder, alpha: ExtTarget, coeffs: list,
+                           ext: bool) -> ExtTarget:
+    """sum_k alpha^k * coeffs[k] via ReducingGate rows (Horner, highest power
+    first). coeffs are base targets (ext=False) or ExtTargets (ext=True).
+
+    One 38-coeff (base) / 27-coeff (ext) row at the canonical 135/60 config
+    replaces ~30-110 arithmetic rows — the reference recursion leans on the
+    same gate for exactly this reason (plonky2 ReducingExtensionGate)."""
+    nr, nw = b.config.num_routed_wires, b.config.num_wires
+    cw = 2 if ext else 1
+    cap = min((nr - 6) // cw, (nw - nr) // 2 + 1)
+    if cap < 8 or len(coeffs) < 8:
+        # tiny configs / short reductions: plain Horner over arith gates
+        acc = ext_zero(b)
+        for c in reversed(coeffs):
+            acc = ext_mul(b, acc, alpha)
+            acc = ext_add(b, acc, c if ext else ExtTarget(c, b.zero()))
+        return acc
+    rev = list(reversed(coeffs))
+    zero = b.zero()
+    pad_c = ExtTarget(zero, zero) if ext else zero
+    # front-pad to a multiple of the row capacity: leading zero coefficients
+    # are a no-op because the accumulator starts at zero — and every row then
+    # uses ONE gate shape (one selector column)
+    rev = [pad_c] * ((-len(rev)) % cap) + rev
+    acc = ext_zero(b)
+    for i in range(0, len(rev), cap):
+        acc = _reduce_row(b, alpha, acc, rev[i : i + cap], ext)
+    return acc

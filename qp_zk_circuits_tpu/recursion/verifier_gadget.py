@@ -36,10 +36,12 @@ from .ext_gadgets import (
     ext_add,
     ext_constant,
     ext_exp_pow2,
+    ext_exp_u,
     ext_from_base,
     ext_inverse,
     ext_mul,
     ext_mul_const,
+    ext_reduce_with_powers,
     ext_scalar_mul,
     ext_select,
     ext_sub,
@@ -376,16 +378,10 @@ def verify_proof_circuit(
     )
     for c in range(nz):
         alpha_e = ext_from_base(b, alphas[c])
-        acc = ext_zero(b)
-        apow = one_e
-        for cons in constraints:
-            acc = ext_add(b, acc, ext_mul(b, apow, cons))
-            apow = ext_mul(b, apow, alpha_e)
-        t_val = ext_zero(b)
-        zpow = one_e
-        for j in range(qdf):
-            t_val = ext_add(b, t_val, ext_mul(b, zpow, pt.quotient[c * qdf + j]))
-            zpow = ext_mul(b, zpow, zeta_n)
+        acc = ext_reduce_with_powers(b, alpha_e, list(constraints), ext=True)
+        t_val = ext_reduce_with_powers(
+            b, zeta_n, [pt.quotient[c * qdf + j] for j in range(qdf)], ext=True
+        )
         lhs = ext_mul(b, zh, t_val)
         b.connect(acc[0], lhs[0])
         b.connect(acc[1], lhs[1])
@@ -418,22 +414,13 @@ def verify_proof_circuit(
     pow_response = chal.challenge()
     b.range_check(pow_response, 64 - fri.proof_of_work_bits)
 
-    # alpha powers in flat term order (batch1 then batch2)
-    apows = []
-    apow = one_e
-    for _ in range(len(batch1) + len(batch2)):
-        apows.append(apow)
-        apow = ext_mul(b, apow, fri_alpha)
-
-    # reduced openings sum per batch (constant across queries)
-    def reduce_batch(vals, offset):
-        acc = ext_zero(b)
-        for k, v in enumerate(vals):
-            acc = ext_add(b, acc, ext_mul(b, apows[offset + k], v))
-        return acc
-
-    cb1 = reduce_batch(batch1, 0)
-    cb2 = reduce_batch(batch2, len(batch1))
+    # reduced openings sum per batch (constant across queries). batch2's
+    # terms carry continued powers alpha^(len(batch1)+k) in the prover's
+    # combine; factor that as alpha^L * (unshifted sum) so both the per-proof
+    # and per-query reductions are plain Horner runs (ReducingGate rows).
+    cb1 = ext_reduce_with_powers(b, fri_alpha, batch1, ext=True)
+    u2cb = ext_reduce_with_powers(b, fri_alpha, batch2, ext=True)
+    alpha_l = ext_exp_u(b, fri_alpha, len(batch1))
 
     g = int(F.MULTIPLICATIVE_GROUP_GENERATOR)
     w0 = int(F.primitive_root_of_unity(lde_bits))
@@ -468,20 +455,16 @@ def verify_proof_circuit(
             + [qr.initial_rows[2][k] for k in range(polys_counts[2])]
             + [qr.initial_rows[3][k] for k in range(polys_counts[3])]
         )
-        s1 = ext_zero(b)
-        for k, row_t in enumerate(flat_rows):
-            s1 = ext_add(b, s1, ext_scalar_mul(b, apows[k], row_t))
+        s1 = ext_reduce_with_powers(b, fri_alpha, flat_rows, ext=False)
         zs_rows = [qr.initial_rows[2][k] for k in range(nz)]
-        s2 = ext_zero(b)
-        for k, row_t in enumerate(zs_rows):
-            s2 = ext_add(b, s2, ext_scalar_mul(b, apows[len(batch1) + k], row_t))
+        u2q = ext_reduce_with_powers(b, fri_alpha, zs_rows, ext=False)
         x_e = ExtTarget(x_q, b.zero())
         inv1 = ext_inverse(b, ext_sub(b, x_e, zeta))
         inv2 = ext_inverse(b, ext_sub(b, x_e, zeta_next))
         qval = ext_add(
             b,
             ext_mul(b, ext_sub(b, s1, cb1), inv1),
-            ext_mul(b, ext_sub(b, s2, cb2), inv2),
+            ext_mul(b, alpha_l, ext_mul(b, ext_sub(b, u2q, u2cb), inv2)),
         )
 
         # fold walk
@@ -544,10 +527,9 @@ def verify_proof_circuit(
             pow(g, 1 << shift_pow, P),
             _pow_from_bits(b, cur_bits, pow(w0, 1 << shift_pow, P)),
         )
-        acc = ext_zero(b)
-        for coeff in reversed(pt.final_poly):
-            acc = ext_scalar_mul(b, acc, x_final)
-            acc = ext_add(b, acc, coeff)
+        acc = ext_reduce_with_powers(
+            b, ExtTarget(x_final, b.zero()), list(pt.final_poly), ext=True
+        )
         b.connect(acc[0], cur_val[0])
         b.connect(acc[1], cur_val[1])
 

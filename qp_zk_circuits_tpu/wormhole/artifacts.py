@@ -284,7 +284,9 @@ def load_canonical_private_batch_verifier_data(
             enforce_security_floor=enforce_security_floor,
         )
         rebuild = VerifierCircuitData.from_circuit_data(circuit.data)
-    return _load_pinned_agg_verifier_data(bins_dir, PRIVATE_BATCH_VERIFIER_BIN, rebuild)
+    return _load_pinned_agg_verifier_data(
+        bins_dir, PRIVATE_BATCH_VERIFIER_BIN, PRIVATE_BATCH_COMMON_BIN, rebuild
+    )
 
 
 def load_canonical_public_batch_verifier_data(
@@ -306,7 +308,9 @@ def load_canonical_public_batch_verifier_data(
             pb_vdata, cfg.num_private_batch_proofs, cfg.num_leaf_proofs, config=config
         )
         rebuild = VerifierCircuitData.from_circuit_data(circuit.data)
-    return _load_pinned_agg_verifier_data(bins_dir, PUBLIC_BATCH_VERIFIER_BIN, rebuild)
+    return _load_pinned_agg_verifier_data(
+        bins_dir, PUBLIC_BATCH_VERIFIER_BIN, PUBLIC_BATCH_COMMON_BIN, rebuild
+    )
 
 
 def load_dummy_private_batch_proof(bins_dir: Path):

@@ -22,12 +22,14 @@ CPU_SUITES=(
     tests/test_serialization_inputs.py
     tests/test_spec_differential.py
     tests/test_properties.py
+    tests/test_properties_admission.py
     tests/test_profiles.py
     tests/test_witness_tape.py
     tests/test_sharding.py
 )
 TPU_SUITES=(
     tests/test_plonk.py
+    tests/test_reduce_gate.py
     tests/test_wormhole_leaf.py
     tests/test_recursion.py
     tests/test_aggregation.py
@@ -40,3 +42,8 @@ QZKT_TEST_CPU=1 python -m pytest "${CPU_SUITES[@]}" -q "$@"
 
 echo "=== pass 2: e2e suites on the default device ==="
 python -m pytest "${TPU_SUITES[@]}" -q "$@"
+
+# Canonical-profile gate (NOT part of the default run — heavy):
+#   QZKT_CANONICAL=1 python -m pytest tests/test_canonical_profile.py -q
+# proves a canonical 135/60 ZK N=2 private batch end-to-end on the device.
+# Expected warm runtime ~10-20 min (graphs land in .jax_cache / QZKT_AOT_CACHE).

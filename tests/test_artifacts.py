@@ -208,6 +208,28 @@ class TestFullArtifactSet:
         parsed = service.verify(pub)
         assert parsed.aggregator_address == wi.BytesDigest(th.DEFAULT_EXIT_ACCOUNT)
 
+    def test_all_three_loader_entry_points_construct(self, full_bins):
+        """Regression for r3's shipped-red loader bug (artifacts.py passed 3
+        args to the 4-parameter `_load_pinned_agg_verifier_data`): every
+        production from-binaries constructor must at least CONSTRUCT
+        (reference `prover/lib.rs:213`, `utils.rs:126-158`)."""
+        out, leaf_rebuild = full_bins
+        prover = PrivateBatchProver.new_from_binaries_dir(
+            out, config=PB_CFG, leaf_rebuild=leaf_rebuild, enforce_security_floor=False
+        )
+        pb_rebuild = VerifierCircuitData.from_circuit_data(prover.circuit.data)
+        PublicBatchProver.new_from_binaries_dir(
+            out, config=PUB_CFG, private_batch_rebuild=pb_rebuild,
+            enforce_security_floor=False,
+        )
+        PublicBatchAggregator.from_binaries_dir(
+            out,
+            aggregator_address=wi.BytesDigest(th.DEFAULT_EXIT_ACCOUNT),
+            config=PUB_CFG,
+            private_batch_rebuild=pb_rebuild,
+            enforce_security_floor=False,
+        )
+
     def test_poisoned_artifacts_rejected(self, full_bins, tmp_path):
         """Flip one byte in each pinned artifact: every loader must refuse
         (reference `aggregator_tests.rs:413-935`)."""

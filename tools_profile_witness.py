@@ -17,8 +17,11 @@ import time
 import numpy as np
 
 # fake proofs are shape-correct but value-garbage; keep-first on conflicts
-# (timing is unaffected: same replay program, same action count)
-os.environ["QZKT_WITNESS_KEEP_FIRST"] = "1"
+# (timing is unaffected: same replay program, same action count). Lenient
+# mode is an explicit API call, not an env var (ADVICE r3).
+from qp_zk_circuits_tpu.plonk.builder import enable_lenient_witness_for_profiling
+
+enable_lenient_witness_for_profiling()
 
 
 def fake_proof(vd):

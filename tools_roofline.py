@@ -1,0 +1,208 @@
+"""Per-kernel device-time decomposition at the canonical N=8 private-batch
+shape + roofline denominators (VERDICT r3 missing #3: no MFU/roofline
+measurement existed).
+
+Times each stage of the fused prover's hot loop as a standalone jit at the
+REAL canonical shapes (degree_bits=17, rate 3 -> m=2^20, 135 wires), so the
+6.6 s device phase can be attributed to kernels without compiling the giant
+fused graph:
+
+  * iNTT + coset-LDE of the wires oracle (135+4 salt cols, 2^17 -> 2^20)
+  * Poseidon2 Merkle leaf absorb + tree build over (2^20, 139) leaves
+  * the same for zs_pp (~34 cols) and quotient (16 cols) oracles
+  * FRI fold chain + query gathers
+  * elementwise primitive throughput: u32 mul, f32 fma, gf mul, poseidon2
+    permutation rate, int8 MXU matmul (the candidate NTT backend)
+
+Prints one JSON dict. Run alone (owns the TPU): python tools_roofline.py
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+from qp_zk_circuits_tpu.field import goldilocks as gl
+from qp_zk_circuits_tpu.field.goldilocks import GF
+from qp_zk_circuits_tpu.hash import merkle
+from qp_zk_circuits_tpu.hash import poseidon2 as ps
+from qp_zk_circuits_tpu.poly import ntt
+
+out = {}
+dev = jax.devices()[0]
+rng = np.random.default_rng(0)
+
+# canonical N=8 private-batch shape
+DEGREE_BITS = 17
+RATE_BITS = 3
+N = 1 << DEGREE_BITS
+M = N << RATE_BITS
+NW, SALT = 135, 4
+CAP_H = 4  # canonical cap height (fri config)
+NZPP = 34  # nz + npp_total approx (2 challenges)
+NQUOT = 16
+
+
+def rand_gf(shape):
+    lo = rng.integers(0, 2**32, size=shape, dtype=np.uint64)
+    hi = rng.integers(0, 0xFFFFFFFF, size=shape, dtype=np.uint64)
+    return GF(
+        jax.device_put(lo.astype(np.uint32), dev),
+        jax.device_put(hi.astype(np.uint32), dev),
+    )
+
+
+def _sync(r):
+    """block_until_ready is NOT a reliable sync on the tunnel backend (it
+    returns ~immediately for enqueued work); fetching one element is."""
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    return np.asarray(leaf.ravel()[:1])
+
+
+def bench(name, fn, *args, n=3):
+    f = jax.jit(fn)
+    _sync(f(*args))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        _sync(f(*args))
+        ts.append(time.perf_counter() - t0)
+    out[name + "_ms"] = round(min(ts) * 1e3, 1)
+    print(f"## {name}_ms = {out[name + '_ms']}", flush=True)
+    return min(ts)
+
+
+# --- oracle commits (iNTT + LDE + merkle) at canonical shapes ---
+def commit(values, ncols, from_values=True):
+    coeffs = ntt.intt_j(values) if from_values else values
+    lde = ntt.coset_lde_j(coeffs, RATE_BITS)
+    leaves = GF(lde.lo.T, lde.hi.T)
+    levels = merkle.build_levels_j(leaves, CAP_H)
+    return levels[-1]
+
+
+wires = rand_gf((NW, N))
+t_wires = bench("wires_commit_full", commit, wires, NW)
+
+# split: NTT-only vs merkle-only
+def lde_only(values):
+    return ntt.coset_lde_j(ntt.intt_j(values), RATE_BITS)
+
+t_lde = bench("wires_intt_lde", lde_only, wires)
+
+big_leaves = rand_gf((M, NW + SALT))
+def merkle_only(leaves):
+    return merkle.build_levels_j(leaves, CAP_H)[-1]
+
+t_mk = bench("wires_merkle", merkle_only, big_leaves)
+
+zspp = rand_gf((NZPP, N))
+bench("zspp_commit_full", commit, zspp, NZPP)
+quot = rand_gf((NQUOT, M))
+def commit_quot(values):
+    return commit(values, NQUOT, from_values=False)
+bench("quot_commit_full", commit_quot, quot)
+
+# --- poseidon2 permutation rate ---
+K = 1 << 20
+state = rand_gf((K, ps.WIDTH))
+def perm(s):
+    return ps.permute_j(s)
+t_perm = bench("poseidon2_1M", perm, state)
+out["poseidon2_Mperm_s"] = round(K / t_perm / 1e6, 1)
+
+# --- elementwise primitive rates ---
+L = 1 << 22
+a, b = rand_gf((L,)), rand_gf((L,))
+def gfmul_chain(a, b):
+    x = a
+    for _ in range(8):
+        x = gl.mul(x, b)
+    return x
+t_gf = bench("gfmul_8x4M", gfmul_chain, a, b)
+out["gf_mul_G_s"] = round(8 * L / t_gf / 1e9, 2)
+
+af = jax.device_put(rng.random((L,), np.float32), dev)
+bf = jax.device_put(rng.random((L,), np.float32), dev)
+def fma_chain(x, y):
+    for _ in range(32):
+        x = x * y + x
+    return x
+t_f32 = bench("f32fma_32x4M", fma_chain, af, bf)
+out["f32_fma_G_s"] = round(32 * L / t_f32 / 1e9, 1)
+
+ai = jax.device_put(rng.integers(0, 2**31, (L,), dtype=np.int32).view(np.uint32), dev)
+bi = jax.device_put(rng.integers(0, 2**31, (L,), dtype=np.int32).view(np.uint32), dev)
+def u32mul_chain(x, y):
+    for _ in range(32):
+        x = x * y + x
+    return x
+t_u32 = bench("u32mul_32x4M", u32mul_chain, ai, bi)
+out["u32_mul_G_s"] = round(32 * L / t_u32 / 1e9, 1)
+
+def u16mul_chain(x, y):
+    # products of 16-bit halves — the actual primitive inside _mul32
+    for _ in range(32):
+        x = (x & 0xFFFF) * (y >> 16) + x
+    return x
+t_u16 = bench("u16mul_32x4M", u16mul_chain, ai, bi)
+out["u16_mul_G_s"] = round(32 * L / t_u16 / 1e9, 1)
+
+# --- int8 MXU matmul (candidate NTT backend) ---
+try:
+    w8 = jax.device_put(rng.integers(-127, 127, (128, 128), dtype=np.int8), dev)
+    x8 = jax.device_put(rng.integers(-127, 127, (128, 1 << 16), dtype=np.int8), dev)
+    def mm8(w, x):
+        return jax.lax.dot_general(
+            w, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+    t8 = bench("int8_matmul_128x128x64k", mm8, w8, x8)
+    out["int8_mxu_Tops"] = round(2 * 128 * 128 * (1 << 16) / t8 / 1e12, 2)
+    # correctness: exact int32 accumulation?
+    ref = np.asarray(mm8(w8, x8)[:2, :4])
+    chk = (
+        np.asarray(w8).astype(np.int64) @ np.asarray(x8).astype(np.int64)
+    )[:2, :4]
+    out["int8_mxu_exact"] = bool(np.array_equal(ref, chk.astype(np.int32)))
+except Exception as e:  # noqa: BLE001
+    out["int8_mxu_err"] = repr(e)[:200]
+
+# --- f32 MXU matmul with 8-bit limb values (exactness check) ---
+try:
+    wf = jax.device_put(rng.integers(0, 256, (128, 128)).astype(np.float32), dev)
+    xf = jax.device_put(rng.integers(0, 256, (128, 1 << 16)).astype(np.float32), dev)
+    def mmf(w, x):
+        return jnp.dot(w, x, preferred_element_type=jnp.float32)
+    tf = bench("f32_matmul_128x128x64k", mmf, wf, xf)
+    out["f32_mxu_Tops"] = round(2 * 128 * 128 * (1 << 16) / tf / 1e12, 2)
+    ref = np.asarray(mmf(wf, xf)[:2, :4])
+    chk = (np.asarray(wf).astype(np.int64) @ np.asarray(xf).astype(np.int64))[:2, :4]
+    out["f32_mxu_exact"] = bool(np.array_equal(ref.astype(np.int64), chk))
+except Exception as e:  # noqa: BLE001
+    out["f32_mxu_err"] = repr(e)[:200]
+
+# --- FRI fold + query gather approximation ---
+vals = rand_gf((2, M))  # extension poly as 2 components
+from qp_zk_circuits_tpu.field.extension import GF2
+from qp_zk_circuits_tpu.fri.prover import _fold_step, _inv_x_table
+
+q = GF2(GF(vals.lo[0], vals.hi[0]), GF(vals.lo[1], vals.hi[1]))
+invx = gl.from_u64(_inv_x_table(DEGREE_BITS + RATE_BITS, 0))
+beta = GF2(gl.constant(12345), gl.constant(67890))
+def fold(q, invx):
+    return _fold_step(q, beta, invx)
+bench("fri_fold_1M", fold, q, invx)
+
+ldes = rand_gf((NW + SALT, M))
+idx = jax.device_put(rng.integers(0, M, (28,), dtype=np.int32), dev)
+def gather(l, i):
+    return GF(l.lo[:, i].T, l.hi[:, i].T)
+bench("query_gather_28", gather, ldes, idx)
+
+print(json.dumps(out, indent=1))
