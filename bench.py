@@ -26,6 +26,10 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+os.environ.setdefault(
+    "QZKT_AOT_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".aot_cache"),
+)
 
 BATCH = 16
 ROUNDS = 3  # pipelined stream chunks per timed run

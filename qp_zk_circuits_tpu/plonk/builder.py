@@ -643,20 +643,49 @@ def _intt_device(cols):
 
 
 class PartialWitness:
-    """Caller-supplied target assignments (the reference's PartialWitness)."""
+    """Caller-supplied target assignments (the reference's PartialWitness).
+
+    Large `set_many` calls are kept as (targets, values) numpy chunks so the
+    witness-tape seeding stays vectorized — `fill_proof_targets` sets ~20k
+    values per recursive proof slot and the per-int dict path was a
+    measurable slice of the canonical batch's witness-pack time."""
 
     def __init__(self):
         self.values: dict[int, int] = {}
+        self.bulk: list[tuple[np.ndarray, np.ndarray]] = []
 
     def set_target(self, t: int, value: int) -> None:
         self.values[t] = int(value) % P
 
     def set_many(self, ts: list[int], vals) -> None:
+        if len(ts) >= 8:
+            self.bulk.append(
+                (
+                    np.asarray(ts, dtype=np.int64),
+                    np.asarray(vals, dtype=np.uint64) % np.uint64(P),
+                )
+            )
+            return
         for t, v in zip(ts, vals):
             self.set_target(t, int(v))
 
     def set_hash_target(self, hs: list[int], digest) -> None:
         self.set_many(hs, [int(x) for x in digest])
+
+    def all_items(self):
+        """Iterate every (target, value) pair (dict + bulk chunks)."""
+        yield from self.values.items()
+        for ts, vs in self.bulk:
+            yield from zip(ts.tolist(), vs.tolist())
+
+    def seed_arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        """All assignments as (targets int64, values uint64) arrays."""
+        parts_t = [np.fromiter(self.values.keys(), np.int64, len(self.values))]
+        parts_v = [np.fromiter(self.values.values(), np.uint64, len(self.values))]
+        for ts, vs in self.bulk:
+            parts_t.append(ts)
+            parts_v.append(vs)
+        return np.concatenate(parts_t), np.concatenate(parts_v)
 
 
 class WitnessError(Exception):
@@ -703,10 +732,10 @@ def run_generators(data: CircuitData, pw: PartialWitness) -> dict:
     def get_val(t):
         return values[root[t]]
 
-    for t, v in pw.values.items():
+    for t, v in pw.all_items():
         set_val(t, v)
 
-    keyset = frozenset(root[t] for t in pw.values)
+    keyset = frozenset(root[t] for t, _ in pw.all_items())
     cached = data.__dict__.get("_witness_program")
     if cached is not None and cached[0] == keyset:
         for action in cached[1]:
@@ -757,9 +786,10 @@ def run_generators_batch(data: CircuitData, pws: list) -> dict:
     the same target set (same circuit usage), which holds for any fixed
     circuit's prover. Returns {root_target: (K,) uint64}."""
     k = len(pws)
-    keys = set(pws[0].values.keys())
-    for pw in pws[1:]:
-        if set(pw.values.keys()) != keys:
+    dicts = [dict(pw.all_items()) for pw in pws]
+    keys = set(dicts[0].keys())
+    for d in dicts[1:]:
+        if set(d.keys()) != keys:
             raise WitnessError("batched witnesses must assign the same target set")
 
     values: dict[int, np.ndarray] = {}
@@ -784,7 +814,7 @@ def run_generators_batch(data: CircuitData, pws: list) -> dict:
         return root[t] in values
 
     for t in keys:
-        set_val(t, np.array([pw.values[t] for pw in pws], dtype=np.uint64))
+        set_val(t, np.array([d[t] for d in dicts], dtype=np.uint64))
 
     keyset = frozenset(root[t] for t in keys)
     cached = data.__dict__.get("_witness_program")

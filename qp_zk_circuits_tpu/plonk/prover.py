@@ -209,7 +209,7 @@ def quotient_run(data: CircuitData):
 FUSED_DEGREE_BITS_MAX = 11
 
 
-def warmup_fused(data: CircuitData, rng_mode: str = "device") -> None:
+def warmup_fused(data: CircuitData, rng_mode: str = "device", mesh=None) -> None:
     """Build + compile the fused single-graph prover for `data` and flip
     subsequent `prove()` calls onto it (prove() prefers fused once the graph
     exists). Runs one zero-witness execution so the XLA compile (or the
@@ -235,10 +235,10 @@ def warmup_fused(data: CircuitData, rng_mode: str = "device") -> None:
 
     cfg = data.config
     dev = cfg.zero_knowledge and rng_mode == "device"
-    slot = "_fused_dev" if dev else "_fused"
+    slot = ("_fused_dev" if dev else "_fused") + ("_tp" if mesh is not None else "")
     cache = data.__dict__.get(slot)
     if cache is None:
-        cache = _build_fused(data, device_rng=dev)
+        cache = _build_fused(data, device_rng=dev, mesh=mesh)
         data.__dict__[slot] = cache
     fused_jit, layout, bundle, meta = cache
     if cfg.zero_knowledge and not dev:
@@ -248,28 +248,31 @@ def warmup_fused(data: CircuitData, rng_mode: str = "device") -> None:
     flat2 = jnp.zeros((in_len, 2), jnp.uint32)
     key_args = (jax.random.PRNGKey(0),) if dev else ()
 
-    if hasattr(fused_jit, "lower"):  # not yet AOT-compiled
-        compiled = None
-        akey = aot_cache.entry_key(data, dev)
-        hit = aot_cache.load(akey)
-        if hit is not None:
-            compiled, saved_layout = hit
-            layout.clear()
-            layout.extend(saved_layout)
-            try:  # execution is the self-check (the CPU PJRT backend can
-                # deserialize an executable it then cannot run)
-                jax.block_until_ready(compiled(flat2, bundle, *key_args))
-            except Exception:
-                compiled = None
-        if compiled is None:
-            # trace/lower/compile explicitly so the executable can be
-            # serialized; tracing populates `layout` as a side effect
-            compiled = fused_jit.lower(flat2, bundle, *key_args).compile()
-            aot_cache.save(akey, compiled, layout)
-            jax.block_until_ready(compiled(flat2, bundle, *key_args))
-        data.__dict__[slot] = (compiled, layout, bundle, meta)
-    else:  # already AOT-compiled in this process: just touch the graph
+    if mesh is not None or not hasattr(fused_jit, "lower"):
+        # mesh graphs skip the AOT cache (single-device executable
+        # serialization only); already-compiled slots just touch the graph
         jax.block_until_ready(fused_jit(flat2, bundle, *key_args))
+        return
+
+    compiled = None
+    akey = aot_cache.entry_key(data, dev)
+    hit = aot_cache.load(akey)
+    if hit is not None:
+        compiled, saved_layout = hit
+        layout.clear()
+        layout.extend(saved_layout)
+        try:  # execution is the self-check (the CPU PJRT backend can
+            # deserialize an executable it then cannot run)
+            jax.block_until_ready(compiled(flat2, bundle, *key_args))
+        except Exception:
+            compiled = None
+    if compiled is None:
+        # trace/lower/compile explicitly so the executable can be
+        # serialized; tracing populates `layout` as a side effect
+        compiled = fused_jit.lower(flat2, bundle, *key_args).compile()
+        aot_cache.save(akey, compiled, layout)
+        jax.block_until_ready(compiled(flat2, bundle, *key_args))
+    data.__dict__[slot] = (compiled, layout, bundle, meta)
 
 
 def prove(

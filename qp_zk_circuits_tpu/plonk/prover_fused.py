@@ -232,6 +232,70 @@ def _commit_j(values: GF, rate_bits: int, cap_height: int, salt: Optional[GF],
     return coeffs, lde, levels
 
 
+def _commit_j_sharded(values: GF, rate_bits: int, cap_height: int,
+                      salt: Optional[GF], from_values: bool, mesh, axis: str):
+    """Mesh-sharded in-graph oracle commit: bit-identical to `_commit_j`.
+
+    Column-block iNTT/LDE per device (zero collectives), ONE tiled
+    all_to_all transpose to row blocks for leaf hashing, local subtree
+    builds, then a replicated re-gather for the (replicated) downstream
+    stages (SURVEY §2.3/§5.8: shard by-polynomial first). Reuses the
+    shard_map body of `parallel/tp.py` — the staged and fused tp paths are
+    the same program."""
+    import jax
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.tp import _commit_body
+
+    C, n = values.shape
+    m = n << rate_bits
+    D = mesh.shape[axis]
+    assert m % D == 0 and (m // D) % D == 0, "need D | M/D for the transpose"
+    c_pad = -(-C // D) * D
+    if c_pad != C:
+        values = gl.concat([values, gl.zeros((c_pad - C, n))], axis=0)
+    blinding = salt is not None
+    salt_in = salt if blinding else gl.zeros((m, SALT_SIZE))
+    cap_h = min(cap_height, m.bit_length() - 1)
+    dev_bits = D.bit_length() - 1
+    local_levels = (m // D).bit_length() - 1 - max(cap_h - dev_bits, 0)
+    local_levels = min(local_levels, m.bit_length() - 1 - cap_h)
+
+    body = functools.partial(
+        _commit_body, axis=axis, n_dev=D, rate_bits=rate_bits,
+        from_values=from_values, c_true=C, blinding=blinding,
+        local_levels=local_levels,
+    )
+    out = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None))
+        + tuple(P(axis, None) for _ in range(local_levels + 1)),
+        check_vma=False,
+    )(values, salt_in)
+    coeffs_p, lde_p, *levels_p = out
+
+    repl = NamedSharding(mesh, P())
+
+    def gath(a: GF) -> GF:
+        return GF(
+            jax.lax.with_sharding_constraint(a.lo, repl),
+            jax.lax.with_sharding_constraint(a.hi, repl),
+        )
+
+    coeffs = gath(coeffs_p)[:C]
+    lde = gath(lde_p)[:C]
+    if blinding:
+        lde = gl.concat([lde, GF(salt.lo.T, salt.hi.T)], axis=0)
+    levels = [gath(lv) for lv in levels_p]
+    cur = levels[-1]
+    while cur.shape[0] > (1 << cap_h):  # finish top levels replicated (tiny)
+        cur = ps.two_to_one_j(cur[0::2], cur[1::2])
+        levels.append(cur)
+    return coeffs, lde, levels
+
+
 def _grind_j(ch: DeviceChallenger, pow_bits: int, batch: int = 1 << 17) -> GF:
     """In-graph PoW grind (reference 16-bit FRI grind): lax.while_loop over
     batched candidate sweeps; returns the witness as a GF scalar. Matches the
@@ -342,7 +406,12 @@ def _rand_felts_j(key, shape):
     return gl._canonicalize(lo, hi)
 
 
-def _build_fused(data: CircuitData, device_rng: bool = False):
+def _build_fused(data: CircuitData, device_rng: bool = False, mesh=None,
+                 tp_axis: str | None = None):
+    """Build the fused single-graph prover. With `mesh`, the three oracle
+    commits (iNTT + coset-LDE + Poseidon2 Merkle — the device-time majority,
+    tools_roofline) run tensor-parallel across the mesh inside the SAME
+    graph (`_commit_j_sharded`), bit-identical output."""
     import jax
     import jax.numpy as jnp
 
@@ -416,6 +485,18 @@ def _build_fused(data: CircuitData, device_rng: bool = False):
 
     quotient_body = quotient_run(data)
     layout: list = []
+
+    if mesh is not None:
+        ax = tp_axis or mesh.axis_names[0]
+
+        def commit(vals, salt_arr, from_values):
+            return _commit_j_sharded(
+                vals, rate_bits, cap_h, salt_arr, from_values, mesh, ax
+            )
+    else:
+
+        def commit(vals, salt_arr, from_values):
+            return _commit_j(vals, rate_bits, cap_h, salt_arr, from_values)
 
     # static salt sizes per oracle (wires, zs_pp, quotient)
     n_salt = SALT_SIZE if zk else 0
@@ -494,7 +575,7 @@ def _build_fused(data: CircuitData, device_rng: bool = False):
         ch.observe_many(pi_hash)
 
         # ---- wires oracle ----
-        w_coeffs, w_lde, w_levels = _commit_j(trace, rate_bits, cap_h, salts[0], True)
+        w_coeffs, w_lde, w_levels = commit(trace, salts[0], True)
         pk.add("wires_cap", w_levels[-1])
         ch.observe_many(w_levels[-1])
         betas = ch.challenge_many(nc)
@@ -531,7 +612,7 @@ def _build_fused(data: CircuitData, device_rng: bool = False):
                 pps_list.append(run_p)
         zpp = gl.stack(zs_list + pps_list, axis=0)  # (nz+npp_total, n)
 
-        z_coeffs, z_lde, z_levels = _commit_j(zpp, rate_bits, cap_h, salts[1], True)
+        z_coeffs, z_lde, z_levels = commit(zpp, salts[1], True)
         pk.add("zs_pp_cap", z_levels[-1])
         ch.observe_many(z_levels[-1])
         alphas = ch.challenge_many(nc)
@@ -541,9 +622,7 @@ def _build_fused(data: CircuitData, device_rng: bool = False):
             w_lde, b["const_lde"], z_lde, alphas, betas, gammas, pi_hash,
             b["xs"], b["l1"], b["inv_zh"], b["inv_shift_pows"],
         )
-        q_coeffs, q_lde, q_levels = _commit_j(
-            t_chunks, rate_bits, cap_h, salts[2], False
-        )
+        q_coeffs, q_lde, q_levels = commit(t_chunks, salts[2], False)
         pk.add("quotient_cap", q_levels[-1])
         ch.observe_many(q_levels[-1])
         zeta = ch.challenge_ext()
@@ -1002,12 +1081,16 @@ def prove_fused(
     pw: PartialWitness,
     seed: int | None = None,
     rng_mode: str = "auto",
+    mesh=None,
 ) -> Proof:
     """rng_mode: 'host' draws ZK blinding/salts on the host (bit-identical to
     the staged prover for the same seed — the differential-test invariant);
     'device' generates them in-graph from a threefry key, shipping only the
     witness values (O(100x) smaller upload for the canonical private batch);
-    'auto' uses 'device' iff `warmup_fused` built the device-rng graph."""
+    'auto' uses 'device' iff `warmup_fused` built the device-rng graph.
+
+    `mesh` runs the oracle commits tensor-parallel across the mesh inside
+    the same fused graph (`_commit_j_sharded`) — byte-identical proofs."""
     import time
 
     cfg = data.config
@@ -1016,19 +1099,16 @@ def prove_fused(
     )
     rng = np.random.default_rng(seed)
 
+    tp_sfx = "_tp" if mesh is not None else ""
     use_dev = cfg.zero_knowledge and (
-        rng_mode == "device" or (rng_mode == "auto" and "_fused_dev" in data.__dict__)
+        rng_mode == "device"
+        or (rng_mode == "auto" and ("_fused_dev" + tp_sfx) in data.__dict__)
     )
-    if use_dev:
-        cache = data.__dict__.get("_fused_dev")
-        if cache is None:
-            cache = _build_fused(data, device_rng=True)
-            data.__dict__["_fused_dev"] = cache
-    else:
-        cache = data.__dict__.get("_fused")
-        if cache is None:
-            cache = _build_fused(data)
-            data.__dict__["_fused"] = cache
+    slot = ("_fused_dev" if use_dev else "_fused") + tp_sfx
+    cache = data.__dict__.get(slot)
+    if cache is None:
+        cache = _build_fused(data, device_rng=use_dev, mesh=mesh)
+        data.__dict__[slot] = cache
     fused_jit, layout, bundle, meta = cache
 
     t0 = time.perf_counter()

@@ -125,8 +125,13 @@ def run_tape(data, pw) -> np.ndarray | None:
 
     if not nat.available():
         return None
-    root = data.target_root
-    keyset = frozenset(root[t] for t in pw.values)
+    root_arr = data.__dict__.get("_root_arr")
+    if root_arr is None:
+        root_arr = np.asarray(data.target_root, dtype=np.int64)
+        data.__dict__["_root_arr"] = root_arr
+    ts_all, vs_all = pw.seed_arrays()
+    rs = root_arr[ts_all]
+    keyset = frozenset(np.unique(rs).tolist())
     cached = data.__dict__.get("_witness_tape")
     if cached is None or cached[0] != keyset:
         rec = data.__dict__.get("_witness_program")
@@ -140,15 +145,18 @@ def run_tape(data, pw) -> np.ndarray | None:
     if tape is None:
         return None
 
+    # vectorized seeding with the same conflict semantics as the dict path:
+    # duplicate assignments to one root are fine iff the values agree
+    order = np.argsort(rs, kind="stable")
+    rs_s, vs_s = rs[order], vs_all[order]
+    dup = rs_s[1:] == rs_s[:-1]
+    if np.any(dup & (vs_s[1:] != vs_s[:-1])):
+        bad = int(rs_s[1:][dup & (vs_s[1:] != vs_s[:-1])][0])
+        raise WitnessError(f"conflicting witness value for target root {bad}")
     vals = np.zeros(data.num_targets, dtype=np.uint64)
     written = np.zeros(data.num_targets, dtype=np.uint8)
-    for t, v in pw.values.items():
-        r = root[t]
-        vv = v % P
-        if written[r] and vals[r] != vv:
-            raise WitnessError(f"conflicting witness value for target {t}")
-        vals[r] = vv
-        written[r] = 1
+    vals[rs] = vs_all
+    written[rs] = 1
 
     from ..hash.poseidon2 import ROUNDS_P
 

@@ -53,6 +53,15 @@ class MemorySampler:
         self._thread.join(timeout=2)
         self.peak_mb = max(self.peak_mb, _read_rss_mb())
 
+    def mark(self) -> float:
+        """Phase boundary: return the peak since the last mark and restart
+        peak tracking from the CURRENT rss (phase-separated accounting, like
+        the reference memprof's phase bracketing)."""
+        now = _read_rss_mb()
+        peak = max(self.peak_mb, now)
+        self.peak_mb = now
+        return round(peak, 1)
+
 
 @dataclasses.dataclass
 class PhaseReport:

@@ -79,13 +79,22 @@ class PublicBatchAggregator:
         private_batch_rebuild=None,
         leaf_rebuild=None,
         enforce_security_floor: bool = True,
+        warm_start: bool = False,
     ) -> "PublicBatchAggregator":
         """Construct the miner service from a published artifact set
         (reference `aggregator.rs:262-316`): every artifact is read + pinned
         HERE, once — the pool and proving workers never re-read bins_dir, so
-        post-construction mutation of the directory cannot affect behavior."""
+        post-construction mutation of the directory cannot affect behavior.
+
+        With `warm_start=True` the fused prover is compiled at construction;
+        the compiled executable persists in `<bins_dir>/aot` (QZKT_AOT_CACHE
+        defaulted here — the TPU analogue of the reference's generated-bins
+        artifact set), so a service RESTART skips the trace+compile."""
+        import os
         from functools import partial
         from pathlib import Path
+
+        os.environ.setdefault("QZKT_AOT_CACHE", str(Path(bins_dir) / "aot"))
 
         from ..plonk.serialization import VerifierCircuitData
         from ..plonk.verifier import verify as plonk_verify
@@ -119,6 +128,7 @@ class PublicBatchAggregator:
             dummy,
             aggregator_address,
             limits=limits,
+            warm_start=warm_start,
         )
 
     # -- pool facade ---------------------------------------------------------
