@@ -37,10 +37,16 @@ from ..poly import ntt
 
 def _commit_body(vals_local: GF, salt_local: GF, *, axis: str, n_dev: int,
                  rate_bits: int, from_values: bool, c_true: int,
-                 blinding: bool, local_levels: int):
+                 blinding: bool, local_levels: int, gather_out: bool = False):
     """Per-device program. vals_local: (C'/D, N) local column block;
     salt_local: (M/D, SALT) local salt rows (zeros when not blinding).
-    Returns (coeffs_local, lde_local, level_0_local, ..., cap_local)."""
+    Returns (coeffs_local, lde_local, level_0_local, ..., cap_local).
+
+    With `gather_out`, every output is re-gathered to replicated INSIDE the
+    manual region (tiled `all_gather` concatenates the device blocks in axis
+    order = the global natural layout) so the caller's out_specs are fully
+    replicated and downstream slicing never meets a sharded dimension — the
+    fused prover consumes the oracle replicated (prover_fused._commit_j_sharded)."""
     import jax.numpy as jnp
     from jax import lax
 
@@ -66,6 +72,14 @@ def _commit_body(vals_local: GF, salt_local: GF, *, axis: str, n_dev: int,
     for _ in range(local_levels):
         cur = _two_to_one(cur)
         levels.append(cur)
+    if gather_out:
+        def gath(a: GF) -> GF:
+            return GF(
+                lax.all_gather(a.lo, axis, axis=0, tiled=True),
+                lax.all_gather(a.hi, axis, axis=0, tiled=True),
+            )
+
+        return tuple(gath(a) for a in (coeffs_l, lde_l, *levels))
     return (coeffs_l, lde_l, *levels)
 
 

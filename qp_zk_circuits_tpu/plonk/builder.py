@@ -648,23 +648,35 @@ class PartialWitness:
     Large `set_many` calls are kept as (targets, values) numpy chunks so the
     witness-tape seeding stays vectorized — `fill_proof_targets` sets ~20k
     values per recursive proof slot and the per-int dict path was a
-    measurable slice of the canonical batch's witness-pack time."""
+    measurable slice of the canonical batch's witness-pack time.
+
+    Assignment semantics are WRITE-ONCE everywhere (ADVICE r4): re-assigning
+    a target with the same canonical value is a no-op; a differing value
+    raises WitnessError immediately on the dict path and at seed time in
+    `run_generators` / `run_tape` for bulk chunks — the three paths agree.
+    Values are canonicalized with a Python-int `% P` (negative ints
+    accepted) before any uint64 cast."""
 
     def __init__(self):
         self.values: dict[int, int] = {}
         self.bulk: list[tuple[np.ndarray, np.ndarray]] = []
 
     def set_target(self, t: int, value: int) -> None:
-        self.values[t] = int(value) % P
+        v = int(value) % P
+        prev = self.values.setdefault(t, v)
+        if prev != v:
+            raise WitnessError(
+                f"conflicting witness value for target {t}: {prev} vs {v}"
+            )
 
     def set_many(self, ts: list[int], vals) -> None:
         if len(ts) >= 8:
-            self.bulk.append(
-                (
-                    np.asarray(ts, dtype=np.int64),
-                    np.asarray(vals, dtype=np.uint64) % np.uint64(P),
-                )
-            )
+            va = np.asarray(vals)
+            if va.dtype.kind == "u":  # hot path (fill_proof_targets): vector
+                vs = va.astype(np.uint64) % np.uint64(P)
+            else:  # Python ints / signed: canonicalize per value (negatives ok)
+                vs = np.asarray([int(v) % P for v in vals], dtype=np.uint64)
+            self.bulk.append((np.asarray(ts, dtype=np.int64), vs))
             return
         for t, v in zip(ts, vals):
             self.set_target(t, int(v))

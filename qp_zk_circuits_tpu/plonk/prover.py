@@ -308,6 +308,15 @@ def prove(
         from .prover_fused import prove_fused
 
         return prove_fused(data, pw, seed, rng_mode=rng_mode)
+    if rng_mode == "device":
+        # the staged pipeline has no in-graph rng; silently returning a
+        # host-rng proof would break the caller's documented upload-size /
+        # byte-determinism expectations (ADVICE r4)
+        raise ValueError(
+            "rng_mode='device' requires the fused prover, but the staged "
+            "prover was selected (large circuit or QZKT_STAGED_PROVER=1); "
+            "pass rng_mode='host'/'auto' or force fused (QZKT_FORCE_FUSED=1)"
+        )
     return prove_staged(data, pw, seed)
 
 

@@ -243,7 +243,6 @@ def _commit_j_sharded(values: GF, rate_bits: int, cap_height: int,
     shard_map body of `parallel/tp.py` — the staged and fused tp paths are
     the same program."""
     import jax
-    from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
     from ..parallel.tp import _commit_body
@@ -262,33 +261,31 @@ def _commit_j_sharded(values: GF, rate_bits: int, cap_height: int,
     local_levels = (m // D).bit_length() - 1 - max(cap_h - dev_bits, 0)
     local_levels = min(local_levels, m.bit_length() - 1 - cap_h)
 
+    # `gather_out` re-gathers every output to replicated INSIDE the manual
+    # region (tiled all_gather), so the out_specs are fully replicated and the
+    # [:C] pad-slice below is an ordinary replicated slice. The previous
+    # with_sharding_constraint-then-slice re-gather crashed at trace time
+    # whenever C was not divisible by the mesh axis (ShardingTypeError at the
+    # canonical 135-wire shape) because the constraint does not change the
+    # sharded *type* the slice rule sees.
     body = functools.partial(
         _commit_body, axis=axis, n_dev=D, rate_bits=rate_bits,
         from_values=from_values, c_true=C, blinding=blinding,
-        local_levels=local_levels,
+        local_levels=local_levels, gather_out=True,
     )
     out = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(axis, None), P(axis, None)),
-        out_specs=(P(axis, None), P(axis, None))
-        + tuple(P(axis, None) for _ in range(local_levels + 1)),
+        out_specs=(P(None, None), P(None, None))
+        + tuple(P(None, None) for _ in range(local_levels + 1)),
         check_vma=False,
     )(values, salt_in)
-    coeffs_p, lde_p, *levels_p = out
+    coeffs_p, lde_p, *levels = out
 
-    repl = NamedSharding(mesh, P())
-
-    def gath(a: GF) -> GF:
-        return GF(
-            jax.lax.with_sharding_constraint(a.lo, repl),
-            jax.lax.with_sharding_constraint(a.hi, repl),
-        )
-
-    coeffs = gath(coeffs_p)[:C]
-    lde = gath(lde_p)[:C]
+    coeffs = coeffs_p[:C]
+    lde = lde_p[:C]
     if blinding:
         lde = gl.concat([lde, GF(salt.lo.T, salt.hi.T)], axis=0)
-    levels = [gath(lv) for lv in levels_p]
     cur = levels[-1]
     while cur.shape[0] > (1 << cap_h):  # finish top levels replicated (tiny)
         cur = ps.two_to_one_j(cur[0::2], cur[1::2])
@@ -1122,6 +1119,7 @@ def prove_fused(
         t1u = time.perf_counter()
         out_dev = fused_jit(in_dev, bundle, key)
         t1d = time.perf_counter()  # async dispatch done; fetch blocks below
+        split = _maybe_split_exec(out_dev)  # diagnostics only (costs an RTT)
         flat_out = _from_dev_pairs(out_dev)  # exactly ONE device->host transfer
         t2 = time.perf_counter()
         proof = _unpack_proof(data, flat_out, layout, meta, pis)
@@ -1131,6 +1129,7 @@ def prove_fused(
             "upload_s": round(t1u - t1, 4),
             "dispatch_s": round(t1d - t1u, 4),
             "execute_fetch_s": round(t2 - t1d, 4),
+            **split,
             "unpack_s": round(time.perf_counter() - t2, 4),
             "flat_in_mb": round(flat_in.nbytes / 1e6, 1),
             "flat_out_mb": round(flat_out.nbytes / 1e6, 1),
@@ -1145,6 +1144,7 @@ def prove_fused(
     t1u = time.perf_counter()
     out_dev = fused_jit(in_dev, bundle)
     t1d = time.perf_counter()
+    split = _maybe_split_exec(out_dev)  # diagnostics only (costs an RTT)
     flat_out = _from_dev_pairs(out_dev)  # exactly ONE device->host transfer
     t2 = time.perf_counter()
     proof = _unpack_proof(data, flat_out, layout, meta, pis)
@@ -1156,6 +1156,7 @@ def prove_fused(
         "upload_s": round(t1u - t1, 4),
         "dispatch_s": round(t1d - t1u, 4),
         "execute_fetch_s": round(t2 - t1d, 4),
+        **split,
         "unpack_s": round(time.perf_counter() - t2, 4),
         "flat_in_mb": round(flat_in.nbytes / 1e6, 1),
         "flat_out_mb": round(flat_out.nbytes / 1e6, 1),
@@ -1163,3 +1164,20 @@ def prove_fused(
         **data.__dict__.pop("_witness_timings", {}),
     }
     return proof
+
+
+def _maybe_split_exec(out_dev) -> dict:
+    """Opt-in (QZKT_SPLIT_EXEC=1) decomposition of the execute_fetch blob
+    into device execute vs tunnel fetch (VERDICT r4 #5: the decision datum
+    for the leaf-latency work). The block_until_ready costs ~one extra
+    tunnel RTT on this host, so production proves never pay it."""
+    import os
+    import time
+
+    if not os.environ.get("QZKT_SPLIT_EXEC"):
+        return {}
+    import jax
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(out_dev)
+    return {"execute_s": round(time.perf_counter() - t0, 4)}

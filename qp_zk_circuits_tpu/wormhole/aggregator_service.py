@@ -87,14 +87,20 @@ class PublicBatchAggregator:
         post-construction mutation of the directory cannot affect behavior.
 
         With `warm_start=True` the fused prover is compiled at construction;
-        the compiled executable persists in `<bins_dir>/aot` (QZKT_AOT_CACHE
-        defaulted here — the TPU analogue of the reference's generated-bins
-        artifact set), so a service RESTART skips the trace+compile."""
+        the compiled executable persists in the MACHINE-LOCAL AOT cache
+        (QZKT_AOT_CACHE defaulted to `aot_cache.default_cache_dir()` — the
+        TPU analogue of the reference's generated-bins artifact set), so a
+        service RESTART skips the trace+compile. The cache deliberately does
+        NOT live in bins_dir: artifact sets are raw-byte pinned and never
+        deserialized, and an `aot/` subdirectory shipped inside one must stay
+        inert (entries are additionally HMAC-gated, plonk/aot_cache.py)."""
         import os
         from functools import partial
         from pathlib import Path
 
-        os.environ.setdefault("QZKT_AOT_CACHE", str(Path(bins_dir) / "aot"))
+        from ..plonk import aot_cache
+
+        os.environ.setdefault("QZKT_AOT_CACHE", str(aot_cache.default_cache_dir()))
 
         from ..plonk.serialization import VerifierCircuitData
         from ..plonk.verifier import verify as plonk_verify

@@ -25,7 +25,10 @@ def test_dryrun_multichip_8_devices():
         env=env,
         capture_output=True,
         text=True,
-        timeout=560,
+        # warm .jax_cache (the committed norm for this repo): ~2-4 min. Cold,
+        # the fused-tp graph in section 1b alone compiles ~25 min on CPU —
+        # hence the generous ceiling; the budget note lives in run_tests.sh.
+        timeout=3600,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "dryrun_multichip OK" in out.stdout
@@ -101,6 +104,13 @@ print('TP PROVE OK')
     assert "tp commit collectives: all_to_all=" in out.stdout, out.stdout[-2000:]
 
 
+@pytest.mark.skipif(
+    os.environ.get("QZKT_TP_FUSED") != "1",
+    reason="fused-tp bit-identity gate: set QZKT_TP_FUSED=1 (compiles the "
+    "135/60 fused mesh graph twice on CPU — ~25 min cold, seconds warm; "
+    "run at least once per round, evidence logged in PROGRESS.jsonl). The "
+    "same path also runs inside test_dryrun_multichip_8_devices section 1b.",
+)
 def test_tp_fused_prove_bit_identical():
     """The FUSED single-graph prover with `mesh` (VERDICT r3 #4: tp inside
     the production path, not just the staged oracle): `_commit_j_sharded`

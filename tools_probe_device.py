@@ -41,12 +41,31 @@ def t(fn, n=5, warm=1):
     return min(ts)
 
 
+# d2h caveat: np.asarray on a device array CACHES the host copy, so timing
+# repeated fetches of one array measures the cache, not the tunnel (the
+# r5 first probe run recorded an impossible 7.7 TB/s). Every d2h sample below
+# therefore fetches a DISTINCT, freshly computed device array exactly once.
+_bump = jax.jit(lambda x, c: x + c)
+
+
+def t_d2h(base, n=3):
+    arrs = [_bump(base, np.uint32(i)) for i in range(n + 1)]
+    jax.block_until_ready(arrs)
+    np.asarray(arrs[0])  # warm any lazy layout/transfer machinery
+    ts = []
+    for a in arrs[1:]:
+        t0 = time.perf_counter()
+        np.asarray(a)
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
 # --- tiny-transfer latency (RTT) ---
 small = np.zeros(8, np.uint32)
 out["h2d_tiny_ms"] = round(t(lambda: jax.device_put(small, dev).block_until_ready()) * 1e3, 2)
 dsmall = jax.device_put(small, dev)
 dsmall.block_until_ready()
-out["d2h_tiny_ms"] = round(t(lambda: np.asarray(dsmall)) * 1e3, 2)
+out["d2h_tiny_ms"] = round(t_d2h(dsmall, n=5) * 1e3, 2)
 
 # --- bandwidth ---
 for mb in (1, 8, 32):
@@ -54,9 +73,9 @@ for mb in (1, 8, 32):
     dt = t(lambda: jax.device_put(big, dev).block_until_ready(), n=3)
     out[f"h2d_{mb}mb_ms"] = round(dt * 1e3, 1)
     out[f"h2d_{mb}mb_MBps"] = round(mb / dt, 1)
-    dbig = jax.device_put(big, dev)
+    dbig = jax.device_put(big.view(np.uint32), dev)
     dbig.block_until_ready()
-    dt = t(lambda: np.asarray(dbig), n=3)
+    dt = t_d2h(dbig, n=3)
     out[f"d2h_{mb}mb_ms"] = round(dt * 1e3, 1)
     out[f"d2h_{mb}mb_MBps"] = round(mb / dt, 1)
 
@@ -71,11 +90,25 @@ out["h2d_two_bufs_ms"] = round(
 out["h2d_one_buf_ms"] = round(
     t(lambda: jax.device_put(pair, dev).block_until_ready()) * 1e3, 1
 )
-dlo, dhi = jax.device_put(lo, dev), jax.device_put(hi, dev)
-dpair = jax.device_put(pair, dev)
+dlo, dhi = jax.device_put(lo.view(np.uint32), dev), jax.device_put(hi.view(np.uint32), dev)
+dpair = jax.device_put(pair.view(np.uint32), dev)
 jax.block_until_ready((dlo, dhi, dpair))
-out["d2h_two_bufs_ms"] = round(t(lambda: (np.asarray(dlo), np.asarray(dhi))) * 1e3, 1)
-out["d2h_one_buf_ms"] = round(t(lambda: np.asarray(dpair)) * 1e3, 1)
+
+
+def t_d2h_two(a, b, n=3):
+    pairs = [(_bump(a, np.uint32(i)), _bump(b, np.uint32(i))) for i in range(n + 1)]
+    jax.block_until_ready(pairs)
+    np.asarray(pairs[0][0]), np.asarray(pairs[0][1])
+    ts = []
+    for x, y in pairs[1:]:
+        t0 = time.perf_counter()
+        np.asarray(x), np.asarray(y)
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+out["d2h_two_bufs_ms"] = round(t_d2h_two(dlo, dhi) * 1e3, 1)
+out["d2h_one_buf_ms"] = round(t_d2h(dpair) * 1e3, 1)
 
 # --- dispatch async? (enqueue a jitted op, measure enqueue vs completion) ---
 @jax.jit

@@ -221,6 +221,121 @@ def gather(l, i):
     return GF(l.lo[:, i].T, l.hi[:, i].T)
 bench("query_gather_28", gather, ldes, idx)
 
+# --- NTT utilization model (VERDICT r4 #3: not just Poseidon2) ---
+# wires_intt_lde measured above: iNTT (C, n) + coset-twiddle + forward NTT
+# (C, m). Radix-2 butterflies = 1 GF mul + 2 GF adds each; scaling/twiddle
+# muls once per element. Utilization is quoted against the ELEMENTWISE GF-mul
+# rate measured in this same run (gf_mul_G_s) — i.e. "how close is the
+# strided-memory NTT to the dense VPU field-multiply ceiling" — plus the
+# mul-only share of the u32 primitive rate for a hardware-level bound.
+C_NTT = NW
+n_bf_i = (N // 2) * DEGREE_BITS          # iNTT butterflies per column
+n_bf_f = (M // 2) * (DEGREE_BITS + RATE_BITS)  # forward (LDE) butterflies
+ntt_gf_muls = C_NTT * (n_bf_i + N + N + n_bf_f)  # + per-elt scale + twiddle
+ntt_gf_adds = C_NTT * 2 * (n_bf_i + n_bf_f)
+if out.get("wires_intt_lde_ms"):
+    t_ntt = out["wires_intt_lde_ms"] / 1e3
+    out["ntt_model"] = {
+        "gf_muls": ntt_gf_muls,
+        "gf_adds": ntt_gf_adds,
+        "achieved_gfmul_G_s": round(ntt_gf_muls / t_ntt / 1e9, 2),
+        # one GF add ~ 1/6 of a GF mul in u32-op mass; fold adds in
+        "achieved_gfmul_equiv_G_s": round(
+            (ntt_gf_muls + ntt_gf_adds / 6) / t_ntt / 1e9, 2
+        ),
+    }
+    if out.get("gf_mul_G_s"):
+        out["ntt_util_vs_elementwise_gfmul_pct"] = round(
+            100 * out["ntt_model"]["achieved_gfmul_equiv_G_s"] / out["gf_mul_G_s"], 1
+        )
+
+# --- quotient (constraint-eval) utilization model ---
+# The real consumer is the private-batch circuit (build ~2 min, 25 GB host);
+# for a decision-grade rate at a NON-floor-bound shape this times the SAME
+# kernel (`plonk.prover.quotient_run`) on a synthetic canonical-config
+# (135/60, 2 challenges) circuit with a representative gate mix (Poseidon2
+# hash + arithmetic + range-check rows) at degree ~12. The inner loop is the
+# identical code path the fused prover traces (prover_fused.py wires it from
+# the same function), so the achieved GF-op rate transfers.
+try:
+    from qp_zk_circuits_tpu.fri.config import FriConfig, FriReductionStrategy
+    from qp_zk_circuits_tpu.plonk.builder import CircuitBuilder
+    from qp_zk_circuits_tpu.plonk.config import CircuitConfig
+    from qp_zk_circuits_tpu.plonk.proof import zs_pp_layout
+    from qp_zk_circuits_tpu.plonk.prover import quotient_run
+
+    _cfg = CircuitConfig(
+        num_wires=135, num_routed_wires=60, num_challenges=2,
+        fri_config=FriConfig(rate_bits=3, cap_height=4, proof_of_work_bits=1,
+                             num_query_rounds=2,
+                             reduction_strategy=FriReductionStrategy(4, 5)))
+    _b = CircuitBuilder(_cfg)
+    _x = _b.add_virtual_target()
+    _y = _b.add_virtual_target()
+    _acc = [_x, _y]
+    for _i in range(3000):  # Poseidon-dominated row mix like the recursion circuits
+        _h = _b.hash_n_to_hash_no_pad([_acc[-2], _acc[-1], _x])
+        _acc.append(_b.add(_h[0], _b.mul(_acc[-1], _y)))
+        if _i % 8 == 0:
+            _b.range_check(_b.add_const(_h[1], 0), 32)
+    _b.register_public_inputs([_acc[-1]])
+    _qdata = _b.build()
+    _qn = _qdata.n
+    _qm = _qn << RATE_BITS
+    _nz, _npp_total = zs_pp_layout(_cfg)
+    out["quotient_shape"] = {
+        "degree_bits": _qdata.degree_bits, "m": _qm,
+        "gates": [type(g).__name__ for g in _qdata.gate_types],
+    }
+    _run = quotient_run(_qdata)
+    _rngq = np.random.default_rng(7)
+
+    def _rgf(shape):
+        return GF(
+            jax.device_put(_rngq.integers(0, 2**32, shape).astype(np.uint32), dev),
+            jax.device_put(_rngq.integers(0, 0xFFFFFFFF, shape).astype(np.uint32), dev),
+        )
+
+    _npre = _qdata.num_preprocessed
+    _wl = _rgf((135, _qm))
+    _cl = _rgf((_npre, _qm))
+    _zl = _rgf((_nz + _npp_total, _qm))
+    _al = _rgf((2,))
+    _bl = _rgf((2,))
+    _gl_ = _rgf((2,))
+    _pih = _rgf((4,))
+    _xs = _rgf((_qm,))
+    _l1 = _rgf((_qm,))
+    _izh = _rgf((_qm,))
+    _isp = _rgf((_qm,))
+    t_quot = bench(
+        "quotient_eval", _run, _wl, _cl, _zl, _al, _bl, _gl_, _pih, _xs,
+        _l1, _izh, _isp,
+    )
+    # analytic op model: gate eval muls (Poseidon2Gate dominates: ~736 muls
+    # + ~1884 adds per row as in the permutation model below, plus selector
+    # mask + alpha-Horner folds) + permutation terms 2 challenges x 60 wires
+    _n_ps_rows = sum(
+        1 for g in _qdata.gate_types if "Poseidon" in type(g).__name__
+    )
+    quot_gf_muls = _qm * (736 + 60 * 2 * 2 + 8 * 2 + 40)  # ps gate + perm + folds
+    quot_gf_adds = _qm * (1884 + 60 * 4 + 80)
+    out["quotient_model"] = {
+        "approx_gf_muls": quot_gf_muls,
+        "achieved_gfmul_equiv_G_s": round(
+            (quot_gf_muls + quot_gf_adds / 6) / t_quot / 1e9, 2
+        ),
+    }
+    if out.get("gf_mul_G_s"):
+        out["quotient_util_vs_elementwise_gfmul_pct"] = round(
+            100
+            * out["quotient_model"]["achieved_gfmul_equiv_G_s"]
+            / out["gf_mul_G_s"],
+            1,
+        )
+except Exception as e:  # noqa: BLE001
+    out["quotient_err"] = repr(e)[:300]
+
 # --- model-based utilization of the dominant kernel (Poseidon2 Merkle) ---
 # per permutation: 96+22 S-boxes (x^7 = 2 sqr + 2 mul), 22x12 diag muls,
 # ~9 external linear layers (~140 canonical adds each), 22 internal sums.
