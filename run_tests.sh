@@ -25,6 +25,7 @@ CPU_SUITES=(
     tests/test_properties_admission.py
     tests/test_profiles.py
     tests/test_witness_tape.py
+    tests/test_aot_cache.py
     tests/test_sharding.py
 )
 TPU_SUITES=(
@@ -43,7 +44,12 @@ QZKT_TEST_CPU=1 python -m pytest "${CPU_SUITES[@]}" -q "$@"
 echo "=== pass 2: e2e suites on the default device ==="
 python -m pytest "${TPU_SUITES[@]}" -q "$@"
 
-# Canonical-profile gate (NOT part of the default run — heavy):
+# Heavy gates (NOT part of the default run — run at least once per round,
+# wall time logged in PROGRESS.jsonl / README):
 #   QZKT_CANONICAL=1 python -m pytest tests/test_canonical_profile.py -q
-# proves a canonical 135/60 ZK N=2 private batch end-to-end on the device.
-# Expected warm runtime ~10-20 min (graphs land in .jax_cache / QZKT_AOT_CACHE).
+#     proves a canonical 135/60 ZK N=2 private batch end-to-end on the device.
+#     Expected warm runtime ~10-20 min (graphs land in .jax_cache/QZKT_AOT_CACHE).
+#   QZKT_TP_FUSED=1 python -m pytest tests/test_sharding.py -q
+#     adds the fused-tp 135/60 bit-identity test (~25 min cold CPU compile,
+#     seconds warm). The same code path also runs — and is asserted — inside
+#     test_dryrun_multichip_8_devices section 1b on every default run.
