@@ -254,9 +254,14 @@ def warmup_fused(data: CircuitData, rng_mode: str = "device", mesh=None) -> None
         jax.block_until_ready(fused_jit(flat2, bundle, *key_args))
         return
 
+    import os as _os
+
+    _dbg = _os.environ.get("QZKT_AOT_DEBUG")
     compiled = None
     akey = aot_cache.entry_key(data, dev)
     hit = aot_cache.load(akey)
+    if hit is None and _dbg:
+        print(f"[aot] MISS key={akey[:12]} (no/invalid entry)", flush=True)
     if hit is not None:
         compiled, saved_layout = hit
         layout.clear()
@@ -264,7 +269,11 @@ def warmup_fused(data: CircuitData, rng_mode: str = "device", mesh=None) -> None
         try:  # execution is the self-check (the CPU PJRT backend can
             # deserialize an executable it then cannot run)
             jax.block_until_ready(compiled(flat2, bundle, *key_args))
-        except Exception:
+            if _dbg:
+                print(f"[aot] HIT key={akey[:12]} (loaded + executed)", flush=True)
+        except Exception as e:
+            if _dbg:
+                print(f"[aot] LOAD-FAIL key={akey[:12]}: {e!r}"[:300], flush=True)
             compiled = None
     if compiled is None:
         # trace/lower/compile explicitly so the executable can be
