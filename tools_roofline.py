@@ -46,9 +46,25 @@ from qp_zk_circuits_tpu.poly import ntt
 ap = argparse.ArgumentParser()
 ap.add_argument("--degree-bits", type=int, default=16)
 ap.add_argument("--out", default="/root/repo/ROOFLINE.json")
+ap.add_argument(
+    "--elementwise-only",
+    action="store_true",
+    help="re-measure only the primitive-rate denominators (merging the "
+    "commit/poseidon/fri/quotient rows from an existing --out file)",
+)
 cli = ap.parse_args()
 
+class _KeepRecorded(Exception):
+    """Sentinel: --elementwise-only keeps the recorded slow-section rows."""
+
+
 out = {}
+if cli.elementwise_only:
+    import os
+
+    if os.path.exists(cli.out):
+        with open(cli.out) as f:
+            out = json.load(f)
 dev = jax.devices()[0]
 rng = np.random.default_rng(0)
 
@@ -103,85 +119,131 @@ def commit(values, ncols, from_values=True):
     return levels[-1]
 
 
-wires = rand_gf((NW, N))
-t_wires = bench("wires_commit_full", commit, wires, NW)
+SKIP_SLOW = cli.elementwise_only
+
+if not SKIP_SLOW:
+    wires = rand_gf((NW, N))
+    t_wires = bench("wires_commit_full", commit, wires, NW)
 
 # split: NTT-only vs merkle-only
-def lde_only(values):
-    return ntt.coset_lde_j(ntt.intt_j(values), RATE_BITS)
+if not SKIP_SLOW:
+    def lde_only(values):
+        return ntt.coset_lde_j(ntt.intt_j(values), RATE_BITS)
 
-t_lde = bench("wires_intt_lde", lde_only, wires)
+    t_lde = bench("wires_intt_lde", lde_only, wires)
 
-big_leaves = rand_gf((M, NW + SALT))
-def merkle_only(leaves):
-    return merkle.build_levels_j(leaves, CAP_H)[-1]
+    big_leaves = rand_gf((M, NW + SALT))
+    def merkle_only(leaves):
+        return merkle.build_levels_j(leaves, CAP_H)[-1]
 
-t_mk = bench("wires_merkle", merkle_only, big_leaves)
+    t_mk = bench("wires_merkle", merkle_only, big_leaves)
 
-zspp = rand_gf((NZPP, N))
-bench("zspp_commit_full", commit, zspp, NZPP)
-quot = rand_gf((NQUOT, M))
-def commit_quot(values):
-    return commit(values, NQUOT, from_values=False)
-bench("quot_commit_full", commit_quot, quot)
+    zspp = rand_gf((NZPP, N))
+    bench("zspp_commit_full", commit, zspp, NZPP)
+    quot = rand_gf((NQUOT, M))
+    def commit_quot(values):
+        return commit(values, NQUOT, from_values=False)
+    bench("quot_commit_full", commit_quot, quot)
 
-# --- poseidon2 permutation rate ---
-K = 1 << 20
-state = rand_gf((K, ps.WIDTH))
-def perm(s):
-    return ps.permute_j(s)
-t_perm = bench("poseidon2_1M", perm, state)
-out["poseidon2_Mperm_s"] = round(K / t_perm / 1e6, 1)
+    # --- poseidon2 permutation rate ---
+    K = 1 << 20
+    state = rand_gf((K, ps.WIDTH))
+    def perm(s):
+        return ps.permute_j(s)
+    t_perm = bench("poseidon2_1M", perm, state)
+    out["poseidon2_Mperm_s"] = round(K / t_perm / 1e6, 1)
 
 # --- elementwise primitive rates ---
-L = 1 << 22
+# Throughput-bound by construction: 4 independent dependency chains (so the
+# VPU pipeline stays full — a single serial chain measures op LATENCY) under
+# a lax.fori_loop deep enough that total device time is >> the ~26 ms tunnel
+# sync floor that invalidated the first recording of these rows.
+for k in list(out):
+    if k.startswith(("gfmul_8x", "f32fma_32x", "u32mul_32x", "u16mul_32x")):
+        del out[k]  # floor-bound rows from the v1 recording
+
+L = 1 << 23
 a, b = rand_gf((L,)), rand_gf((L,))
+GF_TRIPS, GF_BODY = 32, 4  # 4 chains x 1 mul each per trip
+
 def gfmul_chain(a, b):
-    x = a
-    for _ in range(8):
-        x = gl.mul(x, b)
-    return x
-t_gf = bench("gfmul_8x4M", gfmul_chain, a, b)
-out["gf_mul_G_s"] = round(8 * L / t_gf / 1e9, 2)
+    def body(_, xs):
+        return [gl.mul(x, b) for x in xs]
+    xs = jax.lax.fori_loop(
+        0, GF_TRIPS, body, [a, gl.add(a, b), gl.sub(a, b), gl.add(a, a)]
+    )
+    r = xs[0]
+    for x in xs[1:]:
+        r = gl.add(r, x)
+    return r
 
-af = jax.device_put(rng.random((L,), np.float32), dev)
-bf = jax.device_put(rng.random((L,), np.float32), dev)
+t_gf = bench("gfmul_deep", gfmul_chain, a, b)
+out["gf_mul_G_s"] = round(GF_TRIPS * GF_BODY * L / t_gf / 1e9, 2)
+
+LF = 1 << 24
+af = jax.device_put(rng.random((LF,), np.float32), dev)
+bf = jax.device_put(rng.random((LF,), np.float32), dev)
+F32_TRIPS, F32_BODY = 256, 16  # 4 chains x 4 fmas each per trip
+
 def fma_chain(x, y):
-    for _ in range(32):
-        x = x * y + x
-    return x
-t_f32 = bench("f32fma_32x4M", fma_chain, af, bf)
-out["f32_fma_G_s"] = round(32 * L / t_f32 / 1e9, 1)
+    def body(_, xs):
+        for _i in range(4):
+            xs = [v * y + v for v in xs]
+        return xs
+    xs = jax.lax.fori_loop(0, F32_TRIPS, body, [x, x + y, x - y, x + x])
+    return xs[0] + xs[1] + xs[2] + xs[3]
 
-ai = jax.device_put(rng.integers(0, 2**31, (L,), dtype=np.int32).view(np.uint32), dev)
-bi = jax.device_put(rng.integers(0, 2**31, (L,), dtype=np.int32).view(np.uint32), dev)
+t_f32 = bench("f32fma_deep", fma_chain, af, bf)
+out["f32_fma_G_s"] = round(F32_TRIPS * F32_BODY * LF / t_f32 / 1e9, 1)
+
+ai = jax.device_put(rng.integers(0, 2**31, (LF,), dtype=np.int32).view(np.uint32), dev)
+bi = jax.device_put(rng.integers(0, 2**31, (LF,), dtype=np.int32).view(np.uint32), dev)
+U32_TRIPS, U32_BODY = 64, 16
+
 def u32mul_chain(x, y):
-    for _ in range(32):
-        x = x * y + x
-    return x
-t_u32 = bench("u32mul_32x4M", u32mul_chain, ai, bi)
-out["u32_mul_G_s"] = round(32 * L / t_u32 / 1e9, 1)
+    def body(_, xs):
+        for _i in range(4):
+            xs = [v * y + v for v in xs]
+        return xs
+    xs = jax.lax.fori_loop(0, U32_TRIPS, body, [x, x + y, x - y, x + x])
+    return xs[0] + xs[1] + xs[2] + xs[3]
+
+t_u32 = bench("u32mul_deep", u32mul_chain, ai, bi)
+out["u32_mul_G_s"] = round(U32_TRIPS * U32_BODY * LF / t_u32 / 1e9, 1)
 
 def u16mul_chain(x, y):
     # products of 16-bit halves — the actual primitive inside _mul32
-    for _ in range(32):
-        x = (x & 0xFFFF) * (y >> 16) + x
-    return x
-t_u16 = bench("u16mul_32x4M", u16mul_chain, ai, bi)
-out["u16_mul_G_s"] = round(32 * L / t_u16 / 1e9, 1)
+    def body(_, xs):
+        for _i in range(4):
+            xs = [(v & 0xFFFF) * (y >> 16) + v for v in xs]
+        return xs
+    xs = jax.lax.fori_loop(0, U32_TRIPS, body, [x, x + y, x - y, x + x])
+    return xs[0] + xs[1] + xs[2] + xs[3]
 
-# --- int8 MXU matmul (candidate NTT backend) ---
+t_u16 = bench("u16mul_deep", u16mul_chain, ai, bi)
+out["u16_mul_G_s"] = round(U32_TRIPS * U32_BODY * LF / t_u16 / 1e9, 1)
+
+# --- MXU matmul rates (candidate NTT backend) ---
+# One 128x128x64k dot finishes in << the tunnel floor, so the rate is chained:
+# each trip's int32 output is truncated back to the input dtype and fed to the
+# next dot (data dependence defeats loop-invariant hoisting of the matmul).
+MM_K = 1 << 18
+MM_TRIPS = 256
 try:
     w8 = jax.device_put(rng.integers(-127, 127, (128, 128), dtype=np.int8), dev)
-    x8 = jax.device_put(rng.integers(-127, 127, (128, 1 << 16), dtype=np.int8), dev)
+    x8 = jax.device_put(rng.integers(-127, 127, (128, MM_K), dtype=np.int8), dev)
     def mm8(w, x):
         return jax.lax.dot_general(
             w, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
         )
-    t8 = bench("int8_matmul_128x128x64k", mm8, w8, x8)
-    out["int8_mxu_Tops"] = round(2 * 128 * 128 * (1 << 16) / t8 / 1e12, 2)
+    def mm8_chain(w, x):
+        def body(_, x):
+            return (mm8(w, x) & 127).astype(jnp.int8)
+        return jax.lax.fori_loop(0, MM_TRIPS, body, x)
+    t8 = bench("int8_matmul_deep", mm8_chain, w8, x8)
+    out["int8_mxu_Tops"] = round(MM_TRIPS * 2 * 128 * 128 * MM_K / t8 / 1e12, 2)
     # correctness: exact int32 accumulation?
-    ref = np.asarray(mm8(w8, x8)[:2, :4])
+    ref = np.asarray(jax.jit(mm8)(w8, x8)[:2, :4])
     chk = (
         np.asarray(w8).astype(np.int64) @ np.asarray(x8).astype(np.int64)
     )[:2, :4]
@@ -192,34 +254,41 @@ except Exception as e:  # noqa: BLE001
 # --- f32 MXU matmul with 8-bit limb values (exactness check) ---
 try:
     wf = jax.device_put(rng.integers(0, 256, (128, 128)).astype(np.float32), dev)
-    xf = jax.device_put(rng.integers(0, 256, (128, 1 << 16)).astype(np.float32), dev)
+    xf = jax.device_put(rng.integers(0, 256, (128, MM_K)).astype(np.float32), dev)
     def mmf(w, x):
         return jnp.dot(w, x, preferred_element_type=jnp.float32)
-    tf = bench("f32_matmul_128x128x64k", mmf, wf, xf)
-    out["f32_mxu_Tops"] = round(2 * 128 * 128 * (1 << 16) / tf / 1e12, 2)
-    ref = np.asarray(mmf(wf, xf)[:2, :4])
+    def mmf_chain(w, x):
+        def body(_, x):
+            return jnp.abs(mmf(w, x)) % 256.0
+        return jax.lax.fori_loop(0, MM_TRIPS, body, x)
+    tf = bench("f32_matmul_deep", mmf_chain, wf, xf)
+    out["f32_mxu_Tops"] = round(MM_TRIPS * 2 * 128 * 128 * MM_K / tf / 1e12, 2)
+    ref = np.asarray(jax.jit(mmf)(wf, xf)[:2, :4])
     chk = (np.asarray(wf).astype(np.int64) @ np.asarray(xf).astype(np.int64))[:2, :4]
     out["f32_mxu_exact"] = bool(np.array_equal(ref.astype(np.int64), chk))
 except Exception as e:  # noqa: BLE001
     out["f32_mxu_err"] = repr(e)[:200]
+for k in ("int8_matmul_128x128x64k_ms", "f32_matmul_128x128x64k_ms"):
+    out.pop(k, None)  # floor-bound rows from the v1 recording
 
 # --- FRI fold + query gather approximation ---
-vals = rand_gf((2, M))  # extension poly as 2 components
-from qp_zk_circuits_tpu.field.extension import GF2
-from qp_zk_circuits_tpu.fri.prover import _fold_step, _inv_x_table
+if not SKIP_SLOW:
+    vals = rand_gf((2, M))  # extension poly as 2 components
+    from qp_zk_circuits_tpu.field.extension import GF2
+    from qp_zk_circuits_tpu.fri.prover import _fold_step, _inv_x_table
 
-q = GF2(GF(vals.lo[0], vals.hi[0]), GF(vals.lo[1], vals.hi[1]))
-invx = gl.from_u64(_inv_x_table(DEGREE_BITS + RATE_BITS, 0))
-beta = GF2(gl.constant(12345), gl.constant(67890))
-def fold(q, invx):
-    return _fold_step(q, beta, invx)
-bench("fri_fold_1M", fold, q, invx)
+    q = GF2(GF(vals.lo[0], vals.hi[0]), GF(vals.lo[1], vals.hi[1]))
+    invx = gl.from_u64(_inv_x_table(DEGREE_BITS + RATE_BITS, 0))
+    beta = GF2(gl.constant(12345), gl.constant(67890))
+    def fold(q, invx):
+        return _fold_step(q, beta, invx)
+    bench("fri_fold_1M", fold, q, invx)
 
-ldes = rand_gf((NW + SALT, M))
-idx = jax.device_put(rng.integers(0, M, (28,), dtype=np.int32), dev)
-def gather(l, i):
-    return GF(l.lo[:, i].T, l.hi[:, i].T)
-bench("query_gather_28", gather, ldes, idx)
+    ldes = rand_gf((NW + SALT, M))
+    idx = jax.device_put(rng.integers(0, M, (28,), dtype=np.int32), dev)
+    def gather(l, i):
+        return GF(l.lo[:, i].T, l.hi[:, i].T)
+    bench("query_gather_28", gather, ldes, idx)
 
 # --- NTT utilization model (VERDICT r4 #3: not just Poseidon2) ---
 # wires_intt_lde measured above: iNTT (C, n) + coset-twiddle + forward NTT
@@ -258,6 +327,8 @@ if out.get("wires_intt_lde_ms"):
 # identical code path the fused prover traces (prover_fused.py wires it from
 # the same function), so the achieved GF-op rate transfers.
 try:
+    if SKIP_SLOW:
+        raise _KeepRecorded  # model is recomputed below from the stored ms
     from qp_zk_circuits_tpu.fri.config import FriConfig, FriReductionStrategy
     from qp_zk_circuits_tpu.plonk.builder import CircuitBuilder
     from qp_zk_circuits_tpu.plonk.config import CircuitConfig
@@ -308,16 +379,21 @@ try:
     _l1 = _rgf((_qm,))
     _izh = _rgf((_qm,))
     _isp = _rgf((_qm,))
-    t_quot = bench(
+    bench(
         "quotient_eval", _run, _wl, _cl, _zl, _al, _bl, _gl_, _pih, _xs,
         _l1, _izh, _isp,
     )
-    # analytic op model: gate eval muls (Poseidon2Gate dominates: ~736 muls
-    # + ~1884 adds per row as in the permutation model below, plus selector
-    # mask + alpha-Horner folds) + permutation terms 2 challenges x 60 wires
-    _n_ps_rows = sum(
-        1 for g in _qdata.gate_types if "Poseidon" in type(g).__name__
-    )
+except _KeepRecorded:
+    pass
+except Exception as e:  # noqa: BLE001
+    out["quotient_err"] = repr(e)[:300]
+
+# analytic op model: gate eval muls (Poseidon2Gate dominates: ~736 muls
+# + ~1884 adds per row as in the permutation model below, plus selector
+# mask + alpha-Horner folds) + permutation terms 2 challenges x 60 wires
+if out.get("quotient_eval_ms") and out.get("quotient_shape"):
+    _qm = out["quotient_shape"]["m"]
+    t_quot = out["quotient_eval_ms"] / 1e3
     quot_gf_muls = _qm * (736 + 60 * 2 * 2 + 8 * 2 + 40)  # ps gate + perm + folds
     quot_gf_adds = _qm * (1884 + 60 * 4 + 80)
     out["quotient_model"] = {
@@ -333,8 +409,6 @@ try:
             / out["gf_mul_G_s"],
             1,
         )
-except Exception as e:  # noqa: BLE001
-    out["quotient_err"] = repr(e)[:300]
 
 # --- model-based utilization of the dominant kernel (Poseidon2 Merkle) ---
 # per permutation: 96+22 S-boxes (x^7 = 2 sqr + 2 mul), 22x12 diag muls,
@@ -346,13 +420,25 @@ if perm_rate:
     out["poseidon2_gfop_G_s"] = round(
         perm_rate * (GF_MULS_PER_PERM + GF_ADDS_PER_PERM) / 1e9, 1
     )
-    # like-for-like bound: a GF mul is ~10 u32 mults + ~25 cheap u32 ops, a
-    # GF add ~15; compare achieved u32-op rate against the measured u32
-    # elementwise rate from this same run (floor-corrected where possible)
+    # like-for-like bound: fold adds into gfmul-equivalents (a GF add costs
+    # ~1/6 of a GF mul in u32-op mass) and quote against the dense
+    # throughput-bound elementwise GF-mul rate measured in this same run.
+    # >100% means the permutation's op mix is cheaper than general muls
+    # (squarings + small-diagonal muls), not a broken measurement.
+    out["poseidon2_gfmul_equiv_G_s"] = round(
+        perm_rate * (GF_MULS_PER_PERM + GF_ADDS_PER_PERM / 6) / 1e9, 2
+    )
+    if out.get("gf_mul_G_s"):
+        out["poseidon2_model_util_pct"] = round(
+            100 * out["poseidon2_gfmul_equiv_G_s"] / out["gf_mul_G_s"], 1
+        )
+    # raw u32-op mass per second (a GF mul ~35 u32 ops, a GF add ~15) — the
+    # hardware-level attribution row; the u32 chain counts mul+add pairs, so
+    # its op rate is 2x the counted rate
     u32_ops = perm_rate * (GF_MULS_PER_PERM * 35 + GF_ADDS_PER_PERM * 15)
-    u32_peak = max(out.get("u32_mul_G_s", 0.0), out.get("u16_mul_G_s", 0.0)) * 1e9
+    u32_peak = max(out.get("u32_mul_G_s", 0.0), out.get("u16_mul_G_s", 0.0)) * 2e9
     if u32_peak:
-        out["poseidon2_model_util_pct"] = round(100 * u32_ops / u32_peak / 35, 1)
+        out["poseidon2_util_vs_u32_pipe_pct"] = round(100 * u32_ops / u32_peak, 1)
         out["poseidon2_u32op_T_s"] = round(u32_ops / 1e12, 2)
 
 # attribution summary at this shape (leaf-absorb perms dominate)
